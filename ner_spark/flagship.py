@@ -1,0 +1,66 @@
+"""Flagship: the full KG pipeline over the driver's ``documents`` table.
+
+Maps the flat (doc_id, text) testdata into the interleaved-span input shape,
+builds a gazetteer/pattern bank from the testdata vocabulary, and runs
+clean -> extract(x3) -> consensus -> vote -> promote -> triples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas
+from .plans.pipeline import KGPipeline
+
+#: testdata-vocabulary gazetteer: (entity_id, alias, label, weight)
+_GAZ = [
+    ("E_spark", "spark", "ORG", 1.0),
+    ("E_stream", "stream", "ORG", 0.9),
+    ("E_customer", "customer", "PER", 1.0),
+    ("E_supplier", "supplier", "PER", 0.9),
+    ("E_table", "table", "LOC", 0.9),
+    ("E_window", "window", "LOC", 0.9),
+    ("E_line", "line", "PER", 0.6),
+]
+
+_PATTERNS = [
+    ("grfToolWord", r"\b(scan|merge|sort)\b", "ORG"),
+    ("grfDataWord", r"\b(table|window)\b", "LOC"),
+    ("grfHotWord", r"\b(spark|stream)\b", "ORG"),
+]
+
+#: sorted-grf combo that can fire for ORG words hit by gazetteer+hot+tool
+_COMBOS = [
+    ["grfHotWord", "grfOrgGazetteer", ""],  # never fires (NaN quirk)
+    ["grfDataWord", "grfLocGazetteer", ""],  # never fires
+]
+
+
+def docs_as_spans(documents: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) -> input_hint shape (doc_id:string, spans)."""
+    span = F.struct(
+        F.lit("text").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    return documents.select(
+        F.format_string("d%09d", F.col("doc_id")).alias("doc_id"),
+        F.array(span).alias("spans"),
+    )
+
+
+def build_pipeline(spark: SparkSession) -> KGPipeline:
+    gaz = spark.createDataFrame(
+        [(e, a, a, l, w) for e, a, l, w in _GAZ], schema=schemas.GAZETTEER
+    )
+    pat = spark.createDataFrame(_PATTERNS, schema=schemas.PATTERN)
+    return KGPipeline(gazetteer=gaz, patterns=pat, trusted_combos=_COMBOS)
+
+
+def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pipe = build_pipeline(spark)
+    out = pipe.run(docs_as_spans(documents))
+    return out["triples"]

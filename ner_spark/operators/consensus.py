@@ -1,0 +1,174 @@
+"""S3 consensus: provenance fusion, priority vote, trusted-pattern promotion.
+
+The reference's consensus core is an *iterated full-outer equi-join* over the
+three mention tables with a method-name fusion on each fold step
+(reference: src/utils/ner_config.py:57-117). Observation (SURVEY.md §2 C1):
+the fold produces ``method`` = underscore-join of the sources *present*, in
+fold order — e.g. casEN+stanza -> "casEN_stanza" — and coalesces payload
+columns left-first. That is exactly a union + single groupBy with an ordered
+provenance concat, which needs ONE shuffle instead of two full-outer joins.
+We implement that reformulation; the pandas oracle in oracle/pandas_oracle.py
+implements the reference's literal fold and the golden test proves equality.
+
+Everything here is pure column expressions + window functions — whole-stage
+codegen, no UDFs (the reference's own history vectorized two of these ops,
+SURVEY.md §4 O4; we go the rest of the way).
+
+Shuffle plan at scale: ``fuse`` repartitions the unioned mentions by
+``doc_uid`` ONCE; the aggregation keys and every window partition key are
+supersets of ``doc_uid``, so the aggregate, the priority vote, and any
+downstream per-doc operator all reuse that single hash partitioning with no
+further exchange (verified via .explain in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import method_weight
+
+#: fold order of the reference notebook (consensus.ipynb cells 3-6)
+SOURCE_ORDER = ("casEN", "spaCy", "stanza")
+
+#: trusted final methods (reference: src/config.yaml final_methods_to_keep)
+FINAL_METHODS = (
+    "casENOpti",
+    "casEN_spaCy_stanza",
+    "casEN_stanza_priority",
+    "casEN_stanza",
+    "spaCy_stanza_priority",
+)
+
+KEYS = ("doc_uid", "NE", "label", "start", "end")
+
+
+def _first_by_rank(col: Column, rank: Column) -> Column:
+    """First non-null value in source-rank order (pandas combine_first
+    left-first semantics, reference: ner_config.py:107-113), deterministic."""
+    return F.min(
+        F.struct(
+            F.when(col.isNotNull(), rank).otherwise(F.lit(1 << 30)).alias("r"),
+            rank.alias("r2"),
+            col.alias("v"),
+        )
+    )["v"]
+
+
+def fuse(
+    mention_dfs: dict[str, DataFrame],
+    source_order: tuple[str, ...] = SOURCE_ORDER,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """C1: union + groupBy fusion of per-source mention tables.
+
+    ``mention_dfs`` maps source name -> MENTIONS-schema DataFrame whose
+    ``method`` column equals that source name.
+    """
+    ranked = []
+    for rank, name in enumerate(source_order):
+        if name not in mention_dfs:
+            continue
+        ranked.append(
+            mention_dfs[name]
+            .select("doc_uid", "NE", "label", "start", "end", "method", "grfs", "context")
+            .withColumn("_rank", F.lit(rank))
+        )
+    unioned = reduce(DataFrame.unionByName, ranked)
+    if num_partitions:
+        unioned = unioned.repartition(num_partitions, "doc_uid")
+    else:
+        unioned = unioned.repartition("doc_uid")
+
+    rank = F.col("_rank")
+    return (
+        unioned.groupBy(*KEYS)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(rank.alias("r"), F.col("method").alias("m")))),
+                    lambda s: s["m"],
+                ),
+                "_",
+            ).alias("method"),
+            _first_by_rank(F.col("grfs"), rank).alias("grfs"),
+            _first_by_rank(F.col("context"), rank).alias("context"),
+        )
+        .select("doc_uid", "NE", "label", "start", "end", "method", "grfs", "context")
+    )
+
+
+def priority_vote(df: DataFrame, labels_priority: tuple[str, ...] = ("PER",)) -> DataFrame:
+    """W1: strict-majority vote (reference: ner_config.py:120-156).
+
+    Within (doc_uid, start, end, NE) groups — same span+surface, any label —
+    a row gets ``_priority`` appended iff its label is in ``labels_priority``,
+    the group has >1 rows, its weight (#agreeing systems) is the group max,
+    and it is the *unique* maximum.
+    """
+    w = Window.partitionBy("doc_uid", "start", "end", "NE")
+    weight = method_weight(F.col("method"))
+    max_w = F.max(weight).over(w)
+    mask = (
+        F.col("label").isin(list(labels_priority))
+        & (F.count(F.lit(1)).over(w) > 1)
+        & (weight == max_w)
+        & (F.sum((weight == max_w).cast("int")).over(w) == 1)
+    )
+    return df.withColumn(
+        "method", F.when(mask, F.concat(F.col("method"), F.lit("_priority"))).otherwise(F.col("method"))
+    )
+
+
+def promote_trusted(df: DataFrame, combos: list[list[str]], promoted: str = "casENOpti") -> DataFrame:
+    """F3: trusted-pattern promotion with the reference's verified
+    missing-slot semantics (reference: ner_config.py:159-197 as run).
+
+    A combo is an ordered slot triple; slot i must *null-safely* equal
+    ``grfs[i]``. An intentionally-empty slot is the literal "" which can
+    never equal a missing (NULL) grf — so short combos never fire on
+    mentions with fewer grfs, exactly the NaN quirk SURVEY.md §2 F3 pins.
+    Rows with ``method == 'casEN'`` matching any combo are rewritten to
+    ``casENOpti`` (the as-run code only rewrites the exact method "casEN").
+    """
+    def combo_cond(slots: list[str]) -> Column:
+        cond = F.lit(True)
+        for i, slot in enumerate(slots):
+            cond = cond & F.get(F.col("grfs"), i).eqNullSafe(F.lit(slot))
+        return cond
+
+    any_combo = reduce(
+        lambda a, b: a | b, [combo_cond(c) for c in combos], F.lit(False)
+    )
+    return df.withColumn(
+        "method",
+        F.when((F.col("method") == "casEN") & any_combo, F.lit(promoted)).otherwise(
+            F.col("method")
+        ),
+    )
+
+
+def trust_filter(df: DataFrame, methods: tuple[str, ...] = FINAL_METHODS) -> DataFrame:
+    """B3: keep only trusted final methods (reference: ner_config_old.py:339-345)."""
+    return df.filter(F.col("method").isin(list(methods)))
+
+
+def dedup_mentions(df: DataFrame, keys: tuple[str, ...] = ("NE", "label", "doc_uid")) -> DataFrame:
+    """D7: duplicate-mention dedup with a *pinned* survivor.
+
+    The reference's drop_duplicates keeps an arbitrary row (SURVEY.md §2 D7);
+    we pin the survivor to the smallest (start, end, method) so goldens are
+    stable in both engines.
+    """
+    w = Window.partitionBy(*keys).orderBy("start", "end", "method")
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def order_mentions(df: DataFrame) -> DataFrame:
+    """W2: global order by first source id with pinned tie-breakers
+    (reference: ner_config.py:45-55; tie-breakers per SURVEY.md §7 hard #1)."""
+    return df.orderBy(F.col("files_id")[0], "start", "end", "NE", "label", "method")

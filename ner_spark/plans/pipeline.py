@@ -1,0 +1,91 @@
+"""End-to-end stage composition (SURVEY.md §7 target architecture).
+
+Pure DataFrame composition — no I/O here. Checkpointed, resumable execution
+of the same stages lives in ner_spark.plans.runner.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..extractors.casen import rule_mentions
+from ..extractors.model_stub import model_mentions
+from ..operators import consensus as C
+from ..operators import relations as R
+from ..operators.clean import clean
+from ..operators.corrections import apply_corrections
+
+
+@dataclass
+class KGPipeline:
+    """Configured stage chain; each method returns a lazy DataFrame."""
+
+    gazetteer: DataFrame
+    patterns: DataFrame
+    trusted_combos: list[list[str]]
+    corrections: DataFrame | None = None
+    labels_priority: tuple[str, ...] = ("PER",)
+    num_partitions: int | None = None
+    extra_sources: dict = field(default_factory=dict)
+
+    def clean_docs(self, docs: DataFrame) -> DataFrame:
+        return clean(docs)
+
+    def mentions_by_source(self, clean_docs: DataFrame) -> dict[str, DataFrame]:
+        return {
+            "casEN": rule_mentions(clean_docs, self.gazetteer, self.patterns),
+            "spaCy": model_mentions(clean_docs, self.gazetteer, method="spaCy"),
+            "stanza": model_mentions(clean_docs, self.gazetteer, method="stanza"),
+            **self.extra_sources,
+        }
+
+    def consensus(self, clean_docs: DataFrame) -> DataFrame:
+        fused = C.fuse(
+            self.mentions_by_source(clean_docs), num_partitions=self.num_partitions
+        )
+        voted = C.priority_vote(fused, self.labels_priority)
+        promoted = C.promote_trusted(voted, self.trusted_combos)
+        with_ids = promoted.join(
+            clean_docs.select("doc_uid", "files_id"), "doc_uid", "left"
+        )
+        if self.corrections is not None:
+            with_ids = apply_corrections(with_ids, self.corrections)
+        return with_ids
+
+    def triples(self, clean_docs: DataFrame, mentions: DataFrame) -> DataFrame:
+        return R.extract_triples(mentions, clean_docs)
+
+    def run(self, docs: DataFrame) -> dict[str, DataFrame]:
+        cd = self.clean_docs(docs)
+        mentions = self.consensus(cd)
+        return {
+            "clean": cd,
+            "mentions": mentions,
+            "triples": self.triples(cd, mentions),
+        }
+
+
+def ordered_mentions(mentions: DataFrame) -> DataFrame:
+    """Presentation order (W2) — applied at output time only; keeping the
+    pipeline itself order-free avoids a global sort on the hot path."""
+    return C.order_mentions(mentions)
+
+
+def mention_key_cols() -> list[str]:
+    return [*C.KEYS, "method"]
+
+
+def summarize(df: DataFrame, cols: list[str]) -> DataFrame:
+    """D6 self-diagnostics: frequency reports per column value."""
+    outs = [
+        df.groupBy(F.lit(c).alias("column"), F.col(c).cast("string").alias("value"))
+        .count()
+        for c in cols
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
