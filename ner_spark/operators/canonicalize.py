@@ -1,0 +1,148 @@
+"""S6 canonicalization: connected components over a similarity edge list.
+
+North_star stage (no reference counterpart; the reference's exact-match
+dedup D1 and consensus join C1 are degenerate exact-key forms of blocking +
+resolution, SURVEY.md §2 "capability gaps").
+
+Connected components WITHOUT GraphFrames: the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SOCC'14) expressed on DataFrames. Each iteration is two
+groupBy-min shuffles; converges in O(log^2 n) iterations on pathological
+graphs, 2-4 iterations on the star-ish alias graphs linking produces.
+
+Skew: hot entities ("France") produce high-degree nodes. large-star/
+small-star is specifically skew-tolerant (a high-degree node's edges hash
+across partitions; the groupBy key is the node, and its min-neighbor
+aggregate is a partial-aggregatable min). The salted self-join helper below
+is for *building* similarity edges over a skewed blocking key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """(src, dst) edge list -> (node, component) with component = min node id
+    of the component (lexicographic for strings — stable, deterministic).
+
+    Alternating large-star / small-star (Kiveris et al., SOCC'14):
+    - edges are kept oriented larger -> smaller (``src > dst``);
+    - large-star(u): over the full neighborhood, connect every *larger*
+      neighbor v to m = min(N(u) ∪ {u});
+    - small-star(u): over the smaller neighbors, connect every v ∈ N(u) ∪
+      {u} (except m itself) to m = min(N(u));
+    - converged when a round leaves the edge set unchanged (star forest).
+
+    Each iteration is two aggregations + two joins on the node id; the min
+    aggregate is partial-aggregatable, so a high-degree (skewed) node's
+    neighborhood combines map-side. ``localCheckpoint`` each round truncates
+    the exponentially-growing lineage.
+    """
+    e = (
+        _symmetrize(edges)
+        .select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_iter):
+        # --- large-star ---
+        sym = _symmetrize(e)  # (src=u, dst=neighbor)
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("dst") > F.col("src"))
+            .join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # --- small-star (input already oriented src>dst) ---
+        mins2 = large.groupBy("src").agg(F.min("dst").alias("m"))
+        part1 = (
+            large.join(mins2, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        part2 = mins2.select("src", F.col("m").alias("dst"))
+        e_new = part1.unionByName(part2).distinct().localCheckpoint(eager=True)
+        n_new = e_new.count()
+        if n_new == n_edges and e_new.exceptAll(e).isEmpty():
+            e = e_new
+            break
+        e, n_edges = e_new, n_new
+    comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = (
+        comp.select(F.col("component").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    return comp.unionByName(roots).distinct()
+
+
+def salted_self_join(
+    df: DataFrame, key: str, n_salt: int = 16, payload_cols: list[str] | None = None
+) -> DataFrame:
+    """Skew-defused self-join on a blocking key (north_rule's salted
+    self-join for similarity edges over hot surface forms).
+
+    Replicates each row to ``n_salt`` buckets on the LEFT and assigns one
+    deterministic bucket on the RIGHT; joining on (key, salt) splits a hot
+    key's pairs across ``n_salt`` reducers instead of one. Emits each
+    unordered pair once (left id < right id).
+    """
+    payload_cols = payload_cols or [c for c in df.columns if c != key]
+    uid = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in payload_cols])
+    left = (
+        df.withColumn("_uid", uid)
+        .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    )
+    right = df.withColumn("_uid", uid).withColumn(
+        "_salt", F.pmod(F.xxhash64(uid), F.lit(n_salt)).cast("int")
+    )
+    lcols = [F.col(f"l.{c}").alias(f"{c}_l") for c in payload_cols]
+    rcols = [F.col(f"r.{c}").alias(f"{c}_r") for c in payload_cols]
+    return (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (F.col("l._salt") == F.col("r._salt"))
+            & (F.col("l._uid") < F.col("r._uid")),
+        )
+        .select(F.col(f"l.{key}").alias(key), *lcols, *rcols)
+    )
+
+
+def canonical_entities(linked: DataFrame) -> DataFrame:
+    """Build the alias-entity bipartite edges from linked mentions and
+    resolve coreferent entities via connected components.
+
+    Nodes: ``ent:<entity_id>`` and ``surf:<normalized surface>``. An
+    ambiguous alias (one surface linked to two entities across mentions)
+    bridges its entities into one component; ``canonical_id`` = component.
+    """
+    from ..functions.text import normalize_surface
+
+    edges = (
+        linked.filter(F.col("entity_id").isNotNull())
+        .select(
+            F.concat(F.lit("ent:"), F.col("entity_id")).alias("src"),
+            F.concat(F.lit("surf:"), normalize_surface(F.col("NE"))).alias("dst"),
+        )
+        .distinct()
+    )
+    cc = connected_components(edges)
+    ent_nodes = cc.filter(F.col("node").startswith("ent:"))
+    return ent_nodes.select(
+        F.expr("substring(node, 5)").alias("entity_id"),
+        F.col("component").alias("canonical_id"),
+    )

@@ -1,0 +1,147 @@
+"""Resumable stage runner: per-partition checkpoints + lineage manifests.
+
+North_rule semantics: "every stage checkpoints its completed partitions so a
+killed run resumes without recomputation". A stage's unit of resume is the
+hash bucket of ``doc_uid`` (stable at any parallelism). On (re)run:
+
+1. fingerprint = hash(input fingerprint, stage name, params) — a changed
+   input or changed stage invalidates downstream checkpoints automatically
+   (the Iceberg analogue is keying manifests by input snapshot id,
+   SURVEY.md §4 "resumable per-partition checkpoints");
+2. completed buckets per the manifest are *skipped*: the stage transform
+   runs only over input rows whose bucket is missing;
+3. outputs land with dynamic partition overwrite — idempotent per bucket,
+   so a crash mid-write re-does only the unfinished buckets.
+
+Global stages (connected components) cannot be bucket-partial; they
+checkpoint all-or-nothing under the same manifest mechanism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import BUCKET_COL, Catalog, with_bucket
+
+
+def _fp(*parts: str) -> str:
+    return hashlib.sha256("\x1f".join(parts).encode("utf-8")).hexdigest()[:16]
+
+
+@dataclass
+class StageResult:
+    table: str
+    fingerprint: str
+    skipped_buckets: int
+    computed_buckets: int
+    rows: int
+    wall_ms: int
+
+
+@dataclass
+class Runner:
+    spark: SparkSession
+    catalog: Catalog
+    n_buckets: int = 16
+    metrics: list[StageResult] = field(default_factory=list)
+
+    def stage(
+        self,
+        name: str,
+        input_df: DataFrame,
+        transform: Callable[[DataFrame], DataFrame],
+        key: str = "doc_uid",
+        input_fingerprint: str = "",
+        params: str = "",
+    ) -> tuple[DataFrame, str]:
+        """Run one bucket-resumable stage; returns (full output DF, fp)."""
+        t0 = time.time()
+        fingerprint = _fp(name, input_fingerprint, params, str(self.n_buckets))
+        done = self.catalog.completed_buckets(name, fingerprint)
+        missing = sorted(set(range(self.n_buckets)) - done)
+        rows_written = 0
+        if missing:
+            bucketed_in = with_bucket(input_df, key, self.n_buckets)
+            todo = bucketed_in.filter(F.col(BUCKET_COL).isin(missing)).drop(BUCKET_COL)
+            out = transform(todo)
+            out_bucketed = with_bucket(out, key, self.n_buckets)
+            manifest = self.catalog.write_buckets(
+                out_bucketed, name, fingerprint, stage=name
+            )
+            rows_written = sum(r["rows"] for r in manifest)
+            # buckets with zero output rows still count as completed
+            written = {r["bucket"] for r in manifest}
+            empty = [
+                {
+                    "stage": name,
+                    "table": name,
+                    "bucket": b,
+                    "fingerprint": fingerprint,
+                    "rows": 0,
+                    "wall_ms": 0,
+                    "ts": time.time(),
+                }
+                for b in missing
+                if b not in written
+            ]
+            if empty:
+                self.catalog.record(name, empty)
+        result = StageResult(
+            table=name,
+            fingerprint=fingerprint,
+            skipped_buckets=len(done),
+            computed_buckets=len(missing),
+            rows=rows_written,
+            wall_ms=int((time.time() - t0) * 1000),
+        )
+        self.metrics.append(result)
+        out_df = self.catalog.read(self.spark, name).drop(BUCKET_COL)
+        return out_df, fingerprint
+
+    def global_stage(
+        self,
+        name: str,
+        compute: Callable[[], DataFrame],
+        input_fingerprint: str = "",
+        params: str = "",
+    ) -> tuple[DataFrame, str]:
+        """All-or-nothing stage (e.g. connected components)."""
+        t0 = time.time()
+        fingerprint = _fp(name, input_fingerprint, params)
+        done = self.catalog.completed_buckets(name, fingerprint)
+        if not done:
+            out = compute()
+            self.catalog.write_buckets(
+                out.withColumn(BUCKET_COL, F.lit(0)), name, fingerprint, stage=name
+            )
+        result_df = self.catalog.read(self.spark, name).drop(BUCKET_COL)
+        self.metrics.append(
+            StageResult(
+                table=name,
+                fingerprint=fingerprint,
+                skipped_buckets=1 if done else 0,
+                computed_buckets=0 if done else 1,
+                rows=0,
+                wall_ms=int((time.time() - t0) * 1000),
+            )
+        )
+        return result_df, fingerprint
+
+    def metrics_json(self) -> list[dict]:
+        return [
+            {
+                "stage": m.table,
+                "fingerprint": m.fingerprint,
+                "skipped_buckets": m.skipped_buckets,
+                "computed_buckets": m.computed_buckets,
+                "rows": m.rows,
+                "wall_ms": m.wall_ms,
+            }
+            for m in self.metrics
+        ]

@@ -1,0 +1,116 @@
+"""Partitioned-table catalog with per-partition lineage manifests.
+
+Iceberg is the production target (north_rule: partitioned Iceberg tables
+with per-partition lineage manifests); the iceberg-spark runtime jar is not
+available offline in this sandbox, so this module implements the same
+contract on a plain parquet directory (SURVEY.md §7 "Iceberg in sandbox"
+fallback): hash-bucketed layout, idempotent per-partition overwrite, and a
+JSONL manifest recording (stage, bucket, fingerprint, rows, wall_ms) per
+completed partition. Swapping in Iceberg means replacing ``write_buckets``
+with ``overwritePartitions`` and the manifest with a snapshot query — the
+runner API does not change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "_bucket"
+
+
+def with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
+    """Deterministic hash bucket — same key always lands in the same bucket
+    at any parallelism, which is what makes partial re-runs sound."""
+    return df.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    )
+
+
+@dataclass
+class Catalog:
+    root: str
+
+    def table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def manifest_path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.manifest.jsonl")
+
+    # -- manifest ----------------------------------------------------------
+    def manifest_rows(self, table: str) -> list[dict]:
+        path = self.manifest_path(table)
+        if not os.path.exists(path):
+            return []
+        with open(path, encoding="utf-8") as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def completed_buckets(self, table: str, fingerprint: str) -> set[int]:
+        return {
+            r["bucket"]
+            for r in self.manifest_rows(table)
+            if r["fingerprint"] == fingerprint
+        }
+
+    def record(self, table: str, rows: list[dict]) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        with open(self.manifest_path(table), "a", encoding="utf-8") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def clear_manifest(self, table: str) -> None:
+        path = self.manifest_path(table)
+        if os.path.exists(path):
+            os.remove(path)
+
+    # -- data --------------------------------------------------------------
+    def write_buckets(
+        self,
+        df: DataFrame,
+        table: str,
+        fingerprint: str,
+        stage: str,
+    ) -> list[dict]:
+        """Write a (already bucketed) DataFrame partitioned by bucket, then
+        append one manifest row per bucket written. Idempotent per bucket:
+        dynamic partition overwrite replaces exactly the buckets present in
+        ``df`` and leaves the rest of the table untouched."""
+        t0 = time.time()
+        spark = df.sparkSession
+        with_conf(spark)
+        df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.table_dir(table))
+        wall_ms = int((time.time() - t0) * 1000)
+        counts = {
+            r[BUCKET_COL]: r["cnt"]
+            for r in df.groupBy(BUCKET_COL).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        rows = [
+            {
+                "stage": stage,
+                "table": table,
+                "bucket": int(b),
+                "fingerprint": fingerprint,
+                "rows": int(c),
+                "wall_ms": wall_ms,
+                "ts": time.time(),
+            }
+            for b, c in sorted(counts.items())
+        ]
+        self.record(table, rows)
+        return rows
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.table_dir(table))
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self.table_dir(table))
+
+
+def with_conf(spark: SparkSession) -> None:
+    # dynamic mode: overwrite only the partitions present in the write
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -1,0 +1,137 @@
+"""spark-submit entry point: resumable KG-construction pipeline.
+
+    spark-submit --py-files kg.zip run_pipeline.py \
+        --n-docs 1000000 --out /tmp/kg_out --n-buckets 64
+
+or plain ``python run_pipeline.py`` (builds its own local session). Stages
+(SURVEY.md §7): normalize -> dedup -> consensus mentions -> triples ->
+linking -> canonicalization -> graph materialize. Each per-doc stage
+checkpoints per hash bucket; re-running after a kill skips completed
+buckets (see the "skipped=" counts in the metrics line). The input corpus
+is the deterministic synthetic interleaved-doc generator (same rows at any
+parallelism), or ``--input`` parquet in the input_hint schema.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-docs", type=int, default=100_000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--input", default=None, help="parquet dir in input_hint schema")
+    p.add_argument("--out", required=True)
+    p.add_argument("--master", default=None)
+    p.add_argument("--n-buckets", type=int, default=32)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--skip-canonical", action="store_true")
+    args = p.parse_args(argv)
+
+    from ner_spark import synth
+    from ner_spark.operators import consensus as C
+    from ner_spark.operators.clean import dedup_docs, normalize_docs
+    from ner_spark.operators.canonicalize import canonical_entities
+    from ner_spark.operators.corrections import apply_corrections
+    from ner_spark.operators.linking import link_mentions
+    from ner_spark.operators.relations import extract_triples
+    from ner_spark.plans.pipeline import KGPipeline
+    from ner_spark.plans.runner import Runner
+    from ner_spark.session import get_spark
+    from ner_spark.sources.catalog import Catalog
+
+    t_start = time.time()
+    spark = get_spark(
+        "kg_pipeline", master=args.master, shuffle_partitions=args.shuffle_partitions
+    )
+
+    if args.input:
+        docs = spark.read.parquet(args.input)
+        input_fp = f"path:{args.input}"
+    else:
+        docs = synth.synth_docs(spark, args.n_docs, seed=args.seed)
+        input_fp = f"synth:{args.n_docs}:{args.seed}"
+
+    gaz = synth.synth_gazetteer(spark)
+    pat = synth.synth_patterns(spark)
+    combos = [c["slots"] for c in synth.TRUSTED_COMBOS]
+    pipe = KGPipeline(gazetteer=gaz, patterns=pat, trusted_combos=combos)
+
+    runner = Runner(spark=spark, catalog=Catalog(args.out), n_buckets=args.n_buckets)
+
+    s0, fp0 = runner.stage("s0_normalize", docs, normalize_docs, key="doc_id",
+                           input_fingerprint=input_fp)
+    s1, fp1 = runner.stage("s1_dedup", s0, dedup_docs, key="text",
+                           input_fingerprint=fp0)
+
+    def consensus_transform(clean_part):
+        clean_part = clean_part.cache()
+        fused = C.fuse(pipe.mentions_by_source(clean_part))
+        voted = C.priority_vote(fused, pipe.labels_priority)
+        promoted = C.promote_trusted(voted, pipe.trusted_combos)
+        return promoted.join(
+            clean_part.select("doc_uid", "files_id"), "doc_uid", "left"
+        )
+
+    s3, fp3 = runner.stage("s3_consensus", s1, consensus_transform, key="doc_uid",
+                           input_fingerprint=fp1)
+
+    def triples_transform(mentions_part):
+        return extract_triples(mentions_part, s1)
+
+    s4, fp4 = runner.stage("s4_triples", s3, triples_transform, key="doc_uid",
+                           input_fingerprint=fp3)
+
+    def link_transform(mentions_part):
+        return link_mentions(mentions_part.drop("files_id"), gaz)
+
+    s5, fp5 = runner.stage("s5_linked", s3, link_transform, key="doc_uid",
+                           input_fingerprint=fp3)
+
+    if not args.skip_canonical:
+        s6, fp6 = runner.global_stage(
+            "s6_canonical", lambda: canonical_entities(s5), input_fingerprint=fp5
+        )
+        # graph edges: triples with canonical subject ids where linkable
+        def edges_transform(triples_part):
+            from pyspark.sql import functions as F
+
+            subj_link = s5.filter(F.col("entity_id").isNotNull()).select(
+                F.col("doc_uid"), F.col("NE").alias("subj"),
+                F.col("entity_id").alias("subj_entity"),
+            ).dropDuplicates(["doc_uid", "subj"])
+            canon = s6
+            # no broadcast hints: subj_link/canon scale with the data — the
+            # doc_uid join is co-located and AQE picks broadcast when small
+            return (
+                triples_part.join(subj_link, ["doc_uid", "subj"], "left")
+                .join(
+                    canon.withColumnRenamed("entity_id", "subj_entity"),
+                    "subj_entity",
+                    "left",
+                )
+                .select("subj", "pred", "obj", "doc_uid", "method",
+                        "subj_entity", "canonical_id")
+            )
+
+        runner.stage("s7_edges", s4, edges_transform, key="doc_uid",
+                     input_fingerprint=fp4 + fp6)
+
+    n_docs = docs.count()
+    wall = time.time() - t_start
+    metrics = {
+        "n_docs": n_docs,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "stages": runner.metrics_json(),
+    }
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,90 @@
+"""S6: connected components (large-star/small-star) + salted self-join."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from ner_spark.operators.canonicalize import (
+    connected_components,
+    salted_self_join,
+)
+
+
+def _cc_oracle(edges: list[tuple[str, str]]) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical representative = min node id in component
+    comp: dict[str, list[str]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for nodes in comp.values():
+        m = min(nodes)
+        for n in nodes:
+            out[n] = m
+    return out
+
+
+def _run_cc(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    return got
+
+
+def test_cc_two_components_and_chain(spark):
+    edges = [("b", "a"), ("c", "b"), ("e", "d")]  # chain a-b-c, pair d-e
+    got = _run_cc(spark, edges)
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_cc_matches_union_find_on_random_graph(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes))
+        for _ in range(80)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    got = _run_cc(spark, edges)
+    want = _cc_oracle(edges)
+    assert got == want
+
+
+def test_cc_idempotent(spark):
+    edges = [("b", "a"), ("c", "b"), ("z", "c"), ("y", "x")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    cc1 = connected_components(df)
+    # feeding the star forest back in reproduces the same assignment
+    cc2 = connected_components(
+        cc1.select(F.col("node").alias("src"), F.col("component").alias("dst"))
+    )
+    assert sorted(map(tuple, cc1.collect())) == sorted(map(tuple, cc2.collect()))
+
+
+def test_salted_self_join_covers_all_pairs(spark):
+    rows = [("k1", f"v{i}") for i in range(6)] + [("k2", "w0"), ("k2", "w1")]
+    df = spark.createDataFrame(rows, ["block", "val"])
+    pairs = salted_self_join(df, "block", n_salt=4).collect()
+    got = {(r["block"], *sorted([r["val_l"], r["val_r"]])) for r in pairs}
+    want = set()
+    for k, n in (("k1", 6), ("k2", 2)):
+        vals = [f"v{i}" for i in range(6)] if k == "k1" else ["w0", "w1"]
+        for i in range(n):
+            for j in range(i + 1, n):
+                want.add((k, *sorted([vals[i], vals[j]])))
+    assert got == want

@@ -1,0 +1,98 @@
+"""S7 / north_rule resume: killed-run semantics via per-bucket manifests.
+
+A full run checkpoints every bucket; damaging the manifest (simulating a
+kill mid-stage) and re-running must recompute ONLY the damaged buckets and
+reproduce the identical final table.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_spark import synth
+from ner_spark.operators import consensus as C
+from ner_spark.operators.clean import dedup_docs, normalize_docs
+from ner_spark.plans.pipeline import KGPipeline
+from ner_spark.plans.runner import Runner
+from ner_spark.sources.catalog import Catalog
+
+N_BUCKETS = 4
+
+
+def _build(spark, out_dir):
+    docs = synth.synth_docs(spark, 200, seed=42)
+    gaz = synth.synth_gazetteer(spark)
+    pat = synth.synth_patterns(spark)
+    combos = [c["slots"] for c in synth.TRUSTED_COMBOS]
+    pipe = KGPipeline(gazetteer=gaz, patterns=pat, trusted_combos=combos)
+    runner = Runner(spark=spark, catalog=Catalog(str(out_dir)), n_buckets=N_BUCKETS)
+
+    s0, fp0 = runner.stage("s0_normalize", docs, normalize_docs, key="doc_id",
+                           input_fingerprint="synth:200:42")
+    s1, fp1 = runner.stage("s1_dedup", s0, dedup_docs, key="text",
+                           input_fingerprint=fp0)
+
+    def consensus_transform(clean_part):
+        fused = C.fuse(pipe.mentions_by_source(clean_part))
+        return C.promote_trusted(C.priority_vote(fused), combos)
+
+    s3, fp3 = runner.stage("s3_consensus", s1, consensus_transform,
+                           key="doc_uid", input_fingerprint=fp1)
+    return runner, s3
+
+
+@pytest.fixture(scope="module")
+def first_run(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("kg_resume")
+    runner, s3 = _build(spark, out)
+    rows = sorted(map(tuple, s3.select("doc_uid", "NE", "label", "start", "end", "method").collect()))
+    return out, runner, rows
+
+
+def test_full_rerun_skips_everything(spark, first_run):
+    out, _, rows1 = first_run
+    runner, s3 = _build(spark, out)
+    for m in runner.metrics:
+        assert m.computed_buckets == 0, m
+        assert m.skipped_buckets == N_BUCKETS
+    rows2 = sorted(map(tuple, s3.select("doc_uid", "NE", "label", "start", "end", "method").collect()))
+    assert rows1 == rows2
+
+
+def test_partial_resume_recomputes_only_damaged_buckets(spark, first_run):
+    out, _, rows1 = first_run
+    cat = Catalog(str(out))
+    # simulate a kill: drop two buckets of s3 from the manifest
+    damaged = {1, 3}
+    kept = [
+        r for r in cat.manifest_rows("s3_consensus") if r["bucket"] not in damaged
+    ]
+    with open(cat.manifest_path("s3_consensus"), "w", encoding="utf-8") as f:
+        for r in kept:
+            f.write(json.dumps(r) + "\n")
+
+    runner, s3 = _build(spark, out)
+    by_stage = {m.table: m for m in runner.metrics}
+    assert by_stage["s0_normalize"].computed_buckets == 0
+    assert by_stage["s1_dedup"].computed_buckets == 0
+    assert by_stage["s3_consensus"].computed_buckets == len(damaged)
+    assert by_stage["s3_consensus"].skipped_buckets == N_BUCKETS - len(damaged)
+    rows2 = sorted(map(tuple, s3.select("doc_uid", "NE", "label", "start", "end", "method").collect()))
+    assert rows1 == rows2
+
+
+def test_changed_input_invalidates_downstream(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("kg_fp")
+    docs = synth.synth_docs(spark, 50, seed=1)
+    runner = Runner(spark=spark, catalog=Catalog(str(out)), n_buckets=N_BUCKETS)
+    _, fp_a = runner.stage("s0_normalize", docs, normalize_docs, key="doc_id",
+                           input_fingerprint="synth:50:1")
+    # same stage, different input fingerprint -> full recompute
+    runner2 = Runner(spark=spark, catalog=Catalog(str(out)), n_buckets=N_BUCKETS)
+    _, fp_b = runner2.stage("s0_normalize", docs, normalize_docs, key="doc_id",
+                            input_fingerprint="synth:50:2")
+    assert fp_a != fp_b
+    assert runner2.metrics[0].computed_buckets == N_BUCKETS
