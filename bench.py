@@ -1,0 +1,109 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "total_sec", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": ...,
+     "kg_docs_per_sec": ..., "n_bench_docs": ...}
+
+Each query is forced end-to-end with a noop-format write (full execution,
+no driver collect). The KG pipeline throughput number runs the fused
+extract->consensus->triples chain over BENCH_DOCS synthetic interleaved
+docs (deterministic generator; same rows at any parallelism).
+"""
+
+import json
+import os
+import re
+import time
+
+import pandas as pd
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_bench_docs = int(os.environ.get("BENCH_DOCS", "200000"))
+
+    from ner_spark import queries as Qmod
+    from ner_spark import synth
+    from ner_spark.flagship import flagship_triples
+    from ner_spark.operators import consensus as C
+    from ner_spark.operators.clean import clean
+    from ner_spark.operators.relations import extract_triples
+    from ner_spark.plans.pipeline import KGPipeline
+    from ner_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    timings: dict[str, float] = {}
+
+    # warm up the Python worker fleet once (first pandas-UDF job pays the
+    # per-core interpreter+pandas import storm; steady-state throughput is
+    # what the bench measures)
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(cpus * 4).select(_warm(F.col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # registry queries (oracle-checked operator set)
+    for name, fn in Qmod.Q.items():
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship KG chain over the real documents table
+    t0 = time.time()
+    _force(flagship_triples(spark, sf_dir))
+    timings["kg_flagship_triples"] = round(time.time() - t0, 3)
+
+    # KG pipeline throughput over synthetic interleaved docs
+    gaz = synth.synth_gazetteer(spark)
+    pat = synth.synth_patterns(spark)
+    combos = [c["slots"] for c in synth.TRUSTED_COMBOS]
+    pipe = KGPipeline(gazetteer=gaz, patterns=pat, trusted_combos=combos)
+    docs = synth.synth_docs(spark, n_bench_docs, seed=42)
+    t0 = time.time()
+    cd = clean(docs).cache()
+    fused = C.fuse_ranked(pipe.ranked_mentions(cd))
+    voted = C.promote_trusted(C.priority_vote(fused), combos).cache()
+    _force(extract_triples(voted, cd))
+    kg_sec = time.time() - t0
+    cd.unpersist()
+    voted.unpersist()
+    timings["kg_pipeline_synth"] = round(kg_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "kg_docs_per_sec": round(n_bench_docs / kg_sec, 1),
+                "n_bench_docs": n_bench_docs,
+                "cpus": cpus,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -76,7 +76,13 @@ def fuse(
             .select("doc_uid", "NE", "label", "start", "end", "method", "grfs", "context")
             .withColumn("_rank", F.lit(rank))
         )
-    unioned = reduce(DataFrame.unionByName, ranked)
+    return fuse_ranked(reduce(DataFrame.unionByName, ranked), num_partitions)
+
+
+def fuse_ranked(unioned: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """C1 on a single pre-ranked mentions table (``_rank`` = fold position,
+    e.g. from the fused one-pass extractor). One repartition on doc_uid —
+    the aggregation and every downstream per-doc window reuse it."""
     if num_partitions:
         unioned = unioned.repartition(num_partitions, "doc_uid")
     else:

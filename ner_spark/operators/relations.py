@@ -57,10 +57,34 @@ def relation_triples(mentions: DataFrame, docs: DataFrame, max_gap: int = MAX_GA
     Subject/object ordering follows text order (a before b), mirroring how
     the reference walks documents strictly in offset order (SURVEY.md §1.2).
     """
-    m = mentions.select("doc_uid", "NE", "label", "start", "end", "method")
-    a, b = m.alias("a"), m.alias("b")
+    # attach the ≤max_gap chars after each mention ONCE (per mention, not
+    # per pair): the pair join then never touches the full document text
+    m = (
+        mentions.select("doc_uid", "NE", "label", "start", "end", "method")
+        .join(docs.select("doc_uid", "text"), "doc_uid")
+        .withColumn(
+            "after",
+            F.col("text").substr(F.col("end") + 1, F.lit(max_gap)),
+        )
+        .drop("text")
+    )
+    # position-block bucketing: a qualifying pair has b.start within
+    # [a.end, a.end+max_gap], i.e. b's start-block is a's end-block or the
+    # next one — joining on (doc_uid, block) prunes the per-doc quadratic
+    # pair blow-up to near-neighbors only (mention-dense docs would
+    # otherwise dominate the stage)
+    a = m.withColumn(
+        "_blk",
+        F.explode(
+            F.array(
+                F.floor(F.col("end") / max_gap),
+                F.floor(F.col("end") / max_gap) + 1,
+            )
+        ),
+    ).alias("a")
+    b = m.withColumn("_blk", F.floor(F.col("start") / max_gap)).alias("b")
     pairs = (
-        a.join(b, "doc_uid")
+        a.join(b, (F.col("a.doc_uid") == F.col("b.doc_uid")) & (F.col("a._blk") == F.col("b._blk")))
         .filter(
             (F.col("a.end") <= F.col("b.start"))
             & (F.col("b.start") - F.col("a.end") <= max_gap)
@@ -69,23 +93,30 @@ def relation_triples(mentions: DataFrame, docs: DataFrame, max_gap: int = MAX_GA
                 | (F.col("a.end") != F.col("b.end"))
             )
         )
-        .join(docs.select("doc_uid", "text"), "doc_uid")
+        .select(
+            F.col("a.doc_uid").alias("doc_uid"),
+            F.col("a.NE").alias("subj"),
+            F.col("a.end").alias("a_end"),
+            F.col("a.method").alias("a_method"),
+            F.col("a.after").alias("after"),
+            F.col("b.NE").alias("obj"),
+            F.col("b.start").alias("b_start"),
+            F.col("b.method").alias("b_method"),
+        )
     )
-    between = F.substring(
-        F.col("text"),
-        (F.col("a.end") + 1).cast("int"),
-        (F.col("b.start") - F.col("a.end")).cast("int"),
+    between = F.col("after").substr(
+        F.lit(1), (F.col("b_start") - F.col("a_end")).cast("int")
     )
     pred = F.lit(None).cast("string")
     for rx, name in reversed(PRED_RULES):
         pred = F.when(between.rlike(rx), F.lit(name)).otherwise(pred)
     return (
         pairs.select(
-            F.col("a.NE").alias("subj"),
+            "subj",
             pred.alias("pred"),
-            F.col("b.NE").alias("obj"),
+            "obj",
             "doc_uid",
-            F.concat_ws("+", F.col("a.method"), F.col("b.method")).alias("method"),
+            F.concat_ws("+", F.col("a_method"), F.col("b_method")).alias("method"),
         )
         .filter(F.col("pred").isNotNull() & (F.col("subj") != F.col("obj")))
         # pinned survivor (min method) instead of dropDuplicates' arbitrary row

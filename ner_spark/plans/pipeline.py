@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..extractors.casen import rule_mentions
+from ..extractors.combined import combined_mentions
 from ..extractors.model_stub import model_mentions
 from ..operators import consensus as C
 from ..operators import relations as R
@@ -35,6 +36,9 @@ class KGPipeline:
         return clean(docs)
 
     def mentions_by_source(self, clean_docs: DataFrame) -> dict[str, DataFrame]:
+        """Per-source mention tables (three separate Arrow passes) — kept for
+        operator-level tests; the pipeline hot path uses the fused one-pass
+        extractor below."""
         return {
             "casEN": rule_mentions(clean_docs, self.gazetteer, self.patterns),
             "spaCy": model_mentions(clean_docs, self.gazetteer, method="spaCy"),
@@ -42,10 +46,18 @@ class KGPipeline:
             **self.extra_sources,
         }
 
+    def ranked_mentions(self, clean_docs: DataFrame) -> DataFrame:
+        return combined_mentions(clean_docs, self.gazetteer, self.patterns)
+
     def consensus(self, clean_docs: DataFrame) -> DataFrame:
-        fused = C.fuse(
-            self.mentions_by_source(clean_docs), num_partitions=self.num_partitions
-        )
+        if self.extra_sources:
+            fused = C.fuse(
+                self.mentions_by_source(clean_docs), num_partitions=self.num_partitions
+            )
+        else:
+            fused = C.fuse_ranked(
+                self.ranked_mentions(clean_docs), num_partitions=self.num_partitions
+            )
         voted = C.priority_vote(fused, self.labels_priority)
         promoted = C.promote_trusted(voted, self.trusted_combos)
         with_ids = promoted.join(
@@ -59,8 +71,11 @@ class KGPipeline:
         return R.extract_triples(mentions, clean_docs)
 
     def run(self, docs: DataFrame) -> dict[str, DataFrame]:
-        cd = self.clean_docs(docs)
-        mentions = self.consensus(cd)
+        # clean + mentions are each consumed by 2+ branches (instance and
+        # relation triples); caching mirrors the checkpointed execution in
+        # plans.runner, where stage outputs are materialized tables
+        cd = self.clean_docs(docs).cache()
+        mentions = self.consensus(cd).cache()
         return {
             "clean": cd,
             "mentions": mentions,

@@ -93,7 +93,8 @@ def synth_docs(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
         "doc_id", F.format_string("doc%08d", F.col("id"))
     )
     # 5 consecutive ids map onto 4 content keys -> exactly 20% duplicates.
-    ck = F.concat(F.lit(f"s{seed}-"), (F.col("id") * 4 / 5).cast("long").cast("string"))
+    ck_num = (F.col("id") * 4 / 5).cast("long")
+    ck = F.concat(F.lit(f"s{seed}-"), ck_num.cast("string"))
 
     p1 = _pick(ck, "p1", PERSONS)
     p2 = _pick(ck, "p2", PERSONS)
@@ -110,6 +111,10 @@ def synth_docs(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
         .when(tpl == 2, F.concat(F.lit("M. "), sn, F.lit(" visite "), l1, F.lit(" avec "), p2, F.lit(".")))
         .otherwise(F.concat(o1, F.lit(" annonce un accord avec "), o2, F.lit(" en "), l2, F.lit(".")))
     )
+    # unique broadcast number per content key: keeps the unique-text count
+    # proportional to n_docs (only the intended 20% are duplicates) instead
+    # of saturating the small template space
+    s1 = F.concat(s1, F.lit(" Diffusion n°"), ck_num.cast("string"), F.lit("."))
     s2 = F.concat(F.lit("Portrait de "), p2, F.lit(", figure de "), l2, F.lit("."))
 
     def text_span(txt: Column, off: int) -> Column:

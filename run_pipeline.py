@@ -70,7 +70,7 @@ def main(argv: list[str] | None = None) -> int:
 
     def consensus_transform(clean_part):
         clean_part = clean_part.cache()
-        fused = C.fuse(pipe.mentions_by_source(clean_part))
+        fused = C.fuse_ranked(pipe.ranked_mentions(clean_part))
         voted = C.priority_vote(fused, pipe.labels_priority)
         promoted = C.promote_trusted(voted, pipe.trusted_combos)
         return promoted.join(

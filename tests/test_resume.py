@@ -36,7 +36,7 @@ def _build(spark, out_dir):
                            input_fingerprint=fp0)
 
     def consensus_transform(clean_part):
-        fused = C.fuse(pipe.mentions_by_source(clean_part))
+        fused = C.fuse_ranked(pipe.ranked_mentions(clean_part))
         return C.promote_trusted(C.priority_vote(fused), combos)
 
     s3, fp3 = runner.stage("s3_consensus", s1, consensus_transform,
