@@ -291,3 +291,294 @@ def events_user_stats(spark, sf_dir):
         F.round(F.sum("value"), 2).alias("total_value"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication suite over documents
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_groups",
+    """
+    WITH uni AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000000, text FROM documents
+    )
+    SELECT count(*) AS n_docs, min(doc_id) AS keep_id,
+           array_to_string(list_sort(list(doc_id)), ',') AS members
+    FROM uni WHERE text IS NOT NULL
+    GROUP BY text HAVING count(*) > 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup (hash-groupBy) exercised on a corpus with known dups
+    (documents unioned with an id-shifted copy of itself)."""
+    from .operators.dedup import exact_dup_groups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    uni = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000_000))
+    return exact_dup_groups(uni).select(
+        "n_docs",
+        "keep_id",
+        F.array_join(F.transform("members", lambda m: m.cast("string")), ",").alias("members"),
+    )
+
+
+_SHINGLE_SQL = """
+      SELECT doc_id AS doc,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    posting AS (SELECT doc, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS inter
+      FROM posting a JOIN posting b
+        ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 4) AS jaccard
+    FROM inter
+    WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+
+
+@query("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB equivalent
+def dedup_minhash_lsh(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=16, bands=4)
+
+
+@query("dedup_simhash")  # rows-only: UDF-backed fingerprint
+def dedup_simhash(spark, sf_dir):
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id % 40 = 0),
+    v AS (SELECT vec_id AS nb_id, CAST(embedding AS DOUBLE[]) AS nb_vec
+          FROM embeddings),
+    scored AS (
+      SELECT q_id, nb_id,
+             round(list_cosine_similarity(q_vec, nb_vec), 4) AS score
+      FROM q CROSS JOIN v WHERE q_id <> nb_id
+    ),
+    ranked AS (
+      SELECT q_id, nb_id, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nb_id ASC) AS rank
+      FROM scored
+    )
+    SELECT q_id, nb_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    from .operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") % 40 == 0), k=5)
+
+
+@query("ann_topk_lsh")  # rows-only: hyperplane literals impractical in SQL
+def ann_topk_lsh(spark, sf_dir):
+    from .operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") % 40 == 0), k=5)
+
+
+@query("embedding_near_dup")  # rows-only
+def embedding_near_dup(spark, sf_dir):
+    from .operators.similarity import embedding_near_dup_pairs
+
+    # 0.35 sits at the ~99.9th percentile of pairwise cosine in the
+    # synthetic embeddings (no real near-dups there) -> small nonempty result
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_LANGS = ["de", "en", "es", "fr", "zh"]  # alphabetical = tie-break priority
+
+
+def _lang_score_sql(lang: str, words) -> str:
+    wl = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN ({wl})))"
+    )
+
+
+@query("lang_id_predict", None)  # SQL attached below (needs LANG_STOPWORDS)
+def lang_id_predict(spark, sf_dir):
+    from .operators.textstats import predict_lang
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", predict_lang(F.col("text")).alias("pred_lang"), F.col("lang").alias("true_lang")
+    )
+
+
+def _lang_sql() -> str:
+    from .operators.textstats import LANG_STOPWORDS
+
+    scores = {l: _lang_score_sql(l, LANG_STOPWORDS[l]) for l in _LANGS}
+    best = "greatest(" + ", ".join(f"s_{l}" for l in _LANGS) + ")"
+    case = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in _LANGS)
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang AS true_lang,
+             {", ".join(f"{scores[l]} AS s_{l}" for l in _LANGS)}
+      FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (SELECT *, {best} AS best FROM s)
+    SELECT doc_id,
+           CASE WHEN best > 0 THEN (CASE {case} END) ELSE 'und' END AS pred_lang,
+           true_lang
+    FROM b
+    """
+
+
+ORACLE["lang_id_predict"] = _lang_sql()
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                              t -> length(t)*7 + ascii(t[1:1]))),
+             (acc, c) -> (acc*31 + c) % 1000000007) AS fingerprint
+    FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+    """,
+)
+def doc_fingerprint_q(spark, sf_dir):
+    from .operators.textstats import doc_fingerprint
+
+    return _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    ).select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "bpe_token_count",
+    """
+    SELECT doc_id,
+           CAST(list_sum(list_transform(
+                 list_filter(string_split_regex(text, '[^\\p{L}\\p{N}]+'), p -> p <> ''),
+                 p -> CAST(ceil(length(p) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
+    FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+    """,
+)
+def bpe_token_count_q(spark, sf_dir):
+    from .operators.textstats import bpe_ish_token_count
+
+    return _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    ).select("doc_id", bpe_ish_token_count(F.col("text")).alias("bpe_tokens"))
+
+
+@query("quality_features")  # rows-only: composite score easier kept engine-side
+def quality_features_q(spark, sf_dir):
+    from .operators.textstats import quality_features
+
+    return quality_features(
+        _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+        ).select("doc_id", "text")
+    ).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization (gap-based) — window-function coverage
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(event_id) AS first_event, max(event_id) AS last_event
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+        1,
+    ).otherwise(0)
+    s = ev.withColumn(
+        "session_id",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (stubbed decode; rows-only)
+# ---------------------------------------------------------------------------
+
+@query("multimodal_decode")
+def multimodal_decode(spark, sf_dir):
+    from . import synth
+    from .operators.multimodal import decode_media, media_from_docs
+
+    docs = synth.synth_docs(spark, 2000, seed=42)
+    decoded = decode_media(media_from_docs(docs), fake=True)
+    return decoded.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.round(F.avg("width"), 2).alias("avg_w"),
+        F.round(F.avg("height"), 2).alias("avg_h"),
+    )
