@@ -1,0 +1,91 @@
+"""Structured Streaming ingest for the KG pipeline.
+
+The reference is batch-only (SURVEY.md "Streaming-only operators: none"),
+and the north_rule target is batch-with-checkpoints; this module exists for
+the *arrival* side of a production deployment: documents land continuously,
+mention extraction is stateless per document, and the consensus/linking
+stages run in the micro-batch via ``foreachBatch`` against the same
+operators the batch pipeline uses — one implementation, two drivers.
+
+Notes on semantics at scale:
+- S1 global dedup is not streamable (unbounded state); streaming runs
+  extraction per unique text *within* the micro-batch and leaves global
+  dedup to the periodic batch compaction — the same split Lakehouse
+  pipelines use;
+- windowed mention counts use an event-time watermark so late documents
+  update the right window and state is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..extractors.combined import combined_mentions
+from ..operators import consensus as C
+from ..operators.clean import doc_text
+
+STREAM_DOCS = schemas.DOCS.add("event_ts", "timestamp")
+
+
+def stream_docs(spark: SparkSession, input_dir: str, max_files: int = 10) -> DataFrame:
+    """File-source stream of interleaved docs (new parquet files appear)."""
+    return (
+        spark.readStream.schema(STREAM_DOCS)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+
+def stream_mentions(docs: DataFrame, gazetteer: DataFrame, patterns: DataFrame) -> DataFrame:
+    """Stateless per-doc extraction on the stream (same fused extractor as
+    batch; no shuffle, no state)."""
+    normalized = docs.select(
+        F.col("doc_id").alias("doc_uid"),
+        doc_text(F.col("spans")).alias("text"),
+        "event_ts",
+    ).filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    m = combined_mentions(normalized.drop("event_ts"), gazetteer, patterns)
+    return m.join(normalized.select("doc_uid", "event_ts"), "doc_uid")
+
+
+def windowed_label_counts(
+    mentions: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Event-time windowed mention counts per label, late data bounded by
+    the watermark."""
+    return (
+        mentions.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("win"), "label")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "label",
+            "n_mentions",
+        )
+    )
+
+
+def consensus_sink(
+    mentions: DataFrame,
+    combos: list[list[str]],
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch: run the batch consensus operators on each micro-batch
+    and append to a parquet table — checkpointed, exactly-once per batch."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fused = C.fuse_ranked(batch_df.drop("event_ts"))
+        voted = C.promote_trusted(C.priority_vote(fused), combos)
+        voted.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+    return (
+        mentions.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -121,7 +121,12 @@ def main(argv: list[str] | None = None) -> int:
         runner.stage("s7_edges", s4, edges_transform, key="doc_uid",
                      input_fingerprint=fp4 + fp6)
 
-    n_docs = docs.count()
+    # input size from the s0 manifest (avoids recomputing the input scan)
+    n_docs = sum(
+        r["rows"]
+        for r in runner.catalog.manifest_rows("s0_normalize")
+        if r["fingerprint"] == fp0
+    )
     wall = time.time() - t_start
     metrics = {
         "n_docs": n_docs,

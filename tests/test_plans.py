@@ -1,0 +1,114 @@
+"""Physical-plan shape assertions (.explain) — the 100 TB design claims.
+
+These tests pin the *plan*, not just the results: the consensus chain must
+cost exactly one exchange, linking must broadcast the dictionary, and scans
+must prune columns and push filters. A regression here is a performance bug
+even when every value is still correct.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_spark import schemas, synth
+from ner_spark.operators import consensus as C
+from ner_spark.operators.linking import link_mentions
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def n_exchanges(df) -> int:
+    # "simple" mode prints each operator exactly once ("formatted" lists
+    # every node twice: once in the tree, once in the detail section)
+    return plan_of(df, "simple").count("Exchange")
+
+
+def _ranked_mentions(spark):
+    rows = [
+        ("d1", "Curie", "PER", 0, 5, "casEN", None, None, 0),
+        ("d1", "Curie", "PER", 0, 5, "spaCy", None, None, 1),
+        ("d2", "Paris", "LOC", 3, 8, "stanza", None, None, 2),
+    ]
+    cols = ["doc_uid", "NE", "label", "start", "end", "method", "grfs", "context", "_rank"]
+    df = spark.createDataFrame(rows, schema="doc_uid string, NE string, label string, start int, end int, method string, grfs array<string>, context string, _rank int")
+    return df.toDF(*cols)
+
+
+def test_consensus_chain_costs_exactly_one_exchange(spark):
+    """fuse (repartition doc_uid) -> aggregate -> priority window -> promote:
+    the aggregation keys and the window partition keys are supersets of
+    doc_uid, so the single explicit repartition serves the whole chain."""
+    fused = C.fuse_ranked(_ranked_mentions(spark), num_partitions=4)
+    voted = C.promote_trusted(
+        C.priority_vote(fused), [["a", "b", "c"]]
+    )
+    assert n_exchanges(voted) == 1, plan_of(voted, "simple")
+
+
+def test_priority_vote_adds_no_exchange_after_fuse(spark):
+    fused = C.fuse_ranked(_ranked_mentions(spark), num_partitions=4)
+    assert n_exchanges(fused) == 1
+    assert n_exchanges(C.priority_vote(fused)) == 1
+
+
+def test_linking_is_broadcast_no_shuffle_of_mentions(spark):
+    gaz = spark.createDataFrame(
+        [("E1", "Curie", "curie", "PER", 0.9)], schema=schemas.GAZETTEER
+    )
+    m = spark.createDataFrame(
+        [("d1", "Curie", "PER", 0, 5, "casEN")],
+        ["doc_uid", "NE", "label", "start", "end", "method"],
+    )
+    plan = plan_of(link_mentions(m, gaz))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_parquet_scan_prunes_columns(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = docs.select("doc_id", F.length("text").alias("n"))
+    plan = plan_of(q)
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    assert "lang" not in scan_lines[0] and "source" not in scan_lines[0], scan_lines[0]
+
+
+def test_parquet_filter_pushdown(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 100).select("doc_id")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan, plan
+
+
+def test_extraction_is_narrow_over_clean_docs(spark, gazetteer, patterns):
+    """Extraction (pandas UDF + explode) adds no exchange on top of the
+    clean-docs aggregation."""
+    from ner_spark.extractors.combined import combined_mentions
+    from ner_spark.operators.clean import clean
+
+    docs = synth.synth_docs(spark, 50, seed=42)
+    cd = clean(docs)
+    base_exchanges = n_exchanges(cd)
+    assert n_exchanges(combined_mentions(cd, gazetteer, patterns)) == base_exchanges
+
+
+def test_vote_and_promote_stay_jvm_side(spark):
+    """The whole consensus chain after extraction is pure Catalyst: window +
+    hash aggregate, zero Python eval nodes (the reference's row-apply
+    lambdas, SURVEY.md §2 U5, all eliminated)."""
+    fused = C.fuse_ranked(_ranked_mentions(spark), num_partitions=4)
+    voted = C.promote_trusted(C.priority_vote(fused), [["a", "b", "c"]])
+    plan = plan_of(voted, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan and "HashAggregate" in plan
+    # the promote combo compiles to null-safe comparisons, not a UDF
+    assert "<=>" in plan

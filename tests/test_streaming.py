@@ -1,0 +1,91 @@
+"""Structured Streaming: incremental extraction == batch extraction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_spark import synth
+from ner_spark.streaming import ingest as ST
+
+
+@pytest.fixture(scope="module")
+def doc_chunks(spark, tmp_path_factory):
+    """Two parquet chunks of timestamped docs landing in one stream dir."""
+    d = tmp_path_factory.mktemp("stream_in")
+    docs = synth.synth_docs(spark, 120, seed=42).withColumn(
+        "event_ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + (F.xxhash64("doc_id") % 300)),
+    )
+    docs.filter(F.xxhash64("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(d / "chunk=a")
+    )
+    docs.filter(F.xxhash64("doc_id") % 2 != 0).coalesce(1).write.parquet(
+        str(d / "chunk=b")
+    )
+    return d, docs
+
+
+def test_stream_mentions_match_batch(spark, gazetteer, patterns, doc_chunks, tmp_path):
+    d, docs = doc_chunks
+    stream = ST.stream_docs(spark, f"{d}/*", max_files=1)
+    mentions = ST.stream_mentions(stream, gazetteer, patterns)
+    q = (
+        mentions.writeStream.format("memory")
+        .queryName("stream_mentions_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("stream_mentions_t")
+
+    # batch reference over the same docs (no dedup on either side)
+    batch = ST.stream_mentions(
+        docs, gazetteer, patterns
+    )  # static DF through the same code path
+    key = ["doc_uid", "NE", "label", "start", "end", "method"]
+    g = {tuple(r) for r in got.select(*key).collect()}
+    b = {tuple(r) for r in batch.select(*key).collect()}
+    assert g == b and len(g) > 100
+
+
+def test_windowed_counts_and_consensus_sink(spark, gazetteer, patterns, doc_chunks, tmp_path):
+    d, docs = doc_chunks
+    stream = ST.stream_docs(spark, f"{d}/*", max_files=1)
+    mentions = ST.stream_mentions(stream, gazetteer, patterns)
+
+    q = (
+        ST.windowed_label_counts(mentions)
+        .writeStream.format("memory")
+        .queryName("label_counts_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    counts = spark.table("label_counts_t")
+    # append mode only emits windows the watermark has closed; every emitted
+    # window must match the batch recomputation exactly
+    batch_counts = {
+        (r["window_start"], r["window_end"], r["label"]): r["n_mentions"]
+        for r in ST.windowed_label_counts(
+            ST.stream_mentions(docs, gazetteer, patterns)
+        ).collect()
+    }
+    emitted = counts.collect()
+    assert len(emitted) > 0
+    for r in emitted:
+        key = (r["window_start"], r["window_end"], r["label"])
+        assert batch_counts.get(key) == r["n_mentions"], (key, r["n_mentions"])
+
+    combos = [c["slots"] for c in synth.TRUSTED_COMBOS]
+    out = tmp_path / "consensus_out"
+    sink = ST.consensus_sink(mentions, combos, str(out), str(tmp_path / "ckpt3"))
+    sq = sink.start()
+    sq.awaitTermination(300)
+    result = spark.read.parquet(str(out))
+    assert result.count() > 0
+    methods = {r["method"] for r in result.select("method").distinct().collect()}
+    assert any("_" in m for m in methods)  # fusion happened inside batches
