@@ -178,3 +178,57 @@ def order_mentions(df: DataFrame) -> DataFrame:
     """W2: global order by first source id with pinned tie-breakers
     (reference: ner_config.py:45-55; tie-breakers per SURVEY.md §7 hard #1)."""
     return df.orderBy(F.col("files_id")[0], "start", "end", "NE", "label", "method")
+
+
+def legacy_conflict_promotion(
+    df: DataFrame,
+    excluded_names: tuple[str, ...] = (),
+    labels_priority: tuple[str, ...] = ("PER",),
+) -> DataFrame:
+    """C3 (legacy variant): composite-vs-atomic conflict self-join
+    (reference: ner_config_old.py:166-230).
+
+    The old formulation inner-joins the consensus table with itself on
+    (doc_uid, NE, start, end), finds label disagreements where one side is
+    a composite method (>1 system) and the other atomic, and promotes the
+    composite side with ``_priority`` — unless the surface is in the
+    excluded-names list (case-insensitive; config.yaml:81-92). The current
+    reference replaced this with the window vote (W1/priority_vote); this
+    operator exists for parity with the legacy behavior and as the
+    self-equi-join skew pattern SURVEY.md §2 C3 calls out (hot surfaces ->
+    AQE skew splitting handles the join; the aggregation below keys on the
+    full mention key, not the surface).
+    """
+    key = ["doc_uid", "NE", "start", "end"]
+    weight = method_weight(F.col("method"))
+    a = df.select(*key, "label", "method").withColumn("_w", weight).alias("a")
+    b = df.select(*key, "label", "method").withColumn("_w", weight).alias("b")
+    conflicts = (
+        a.join(b, key)
+        .filter(
+            (F.col("a.label") != F.col("b.label"))
+            & (F.col("a._w") > 1)
+            & (F.col("b._w") == 1)
+        )
+        .select(
+            *[F.col(f"a.{k}") for k in key],
+            F.col("a.label").alias("label"),
+        )
+        .distinct()
+    )
+    lowered = [n.lower() for n in excluded_names]
+    promoted = (
+        df.join(conflicts, [*key, "label"], "left_semi")
+        .filter(F.col("label").isin(list(labels_priority)))
+        .filter(~F.lower(F.col("NE")).isin(lowered) if lowered else F.lit(True))
+        .select(*key, "label")
+        .withColumn("_promote", F.lit(1))
+    )
+    out = df.join(promoted, [*key, "label"], "left")
+    return out.withColumn(
+        "method",
+        F.when(
+            (F.col("_promote") == 1) & ~F.col("method").endswith("_priority"),
+            F.concat(F.col("method"), F.lit("_priority")),
+        ).otherwise(F.col("method")),
+    ).drop("_promote")

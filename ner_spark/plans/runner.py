@@ -72,7 +72,7 @@ class Runner:
             out = transform(todo)
             out_bucketed = with_bucket(out, key, self.n_buckets)
             manifest = self.catalog.write_buckets(
-                out_bucketed, name, fingerprint, stage=name
+                out_bucketed, name, fingerprint, stage=name, buckets=missing
             )
             rows_written = sum(r["rows"] for r in manifest)
             # buckets with zero output rows still count as completed

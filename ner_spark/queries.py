@@ -582,3 +582,100 @@ def multimodal_decode(spark, sf_dir):
         F.round(F.avg("width"), 2).alias("avg_w"),
         F.round(F.avg("height"), 2).alias("avg_h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B3 trust filter + C2 correction join, oracle-checked (completing the
+# SURVEY.md §2 consensus chain coverage in CORRECTNESS)
+# ---------------------------------------------------------------------------
+
+_TRUSTED = ("casEN_spaCy_stanza", "casEN_spaCy", "casEN")
+_TRUSTED_SQL = ", ".join(f"'{m}'" for m in _TRUSTED)
+
+
+@query(
+    "kg_trust_filter",
+    f"""
+    WITH cons AS ({_CONSENSUS_SQL_BODY})
+    SELECT doc_id, NE, pos, method FROM cons WHERE method IN ({_TRUSTED_SQL})
+    """,
+)
+def kg_trust_filter(spark, sf_dir):
+    """B3: keep only trusted methods (reference: config.yaml
+    final_methods_to_keep / ner_config_old.py:339-345)."""
+    cons = kg_consensus_fusion(spark, sf_dir)
+    return cons.filter(F.col("method").isin(list(_TRUSTED))).select(
+        "doc_id", "NE", "pos", "method"
+    )
+
+
+_CORR_ROWS = [
+    ("spark", d, f"cat_spark_{d % 3}") for d in range(0, 200, 7)
+] + [
+    ("customer", 1_000_000_000 + d, f"cat_cust_{d % 2}") for d in range(0, 200, 11)
+]
+_CORR_SQL_VALUES = ", ".join(
+    f"('{ne}', {fid}, '{cat}')" for ne, fid, cat in _CORR_ROWS
+)
+
+
+@query(
+    "kg_correction_join",
+    f"""
+    WITH uni AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000000, text FROM documents
+    ),
+    ded AS (
+      SELECT min(doc_id) AS doc_uid, text, list_sort(list(doc_id)) AS files_id
+      FROM uni WHERE text IS NOT NULL GROUP BY text
+    ),
+    surf(NE) AS (VALUES {_SURF_SQL}),
+    m AS (
+      SELECT d.doc_uid, surf.NE, instr(d.text, surf.NE) AS pos, d.files_id
+      FROM ded d CROSS JOIN surf WHERE instr(d.text, surf.NE) > 0
+    ),
+    corr(NE, fid, manual_cat) AS (VALUES {_CORR_SQL_VALUES}),
+    e AS (SELECT doc_uid, NE, pos, unnest(files_id) AS fid FROM m),
+    j AS (
+      SELECT e.doc_uid, e.NE, e.pos, e.fid, c.manual_cat
+      FROM e LEFT JOIN corr c ON e.NE = c.NE AND e.fid = c.fid
+    )
+    SELECT doc_uid, NE, pos,
+           count(manual_cat) AS n_corr,
+           min(CASE WHEN manual_cat IS NOT NULL THEN fid END) AS first_corr_fid,
+           min(manual_cat) AS manual_cat
+    FROM j GROUP BY doc_uid, NE, pos
+    """,
+)
+def kg_correction_join(spark, sf_dir):
+    """C2: explode files_id -> broadcast-join the correction dimension ->
+    re-collapse per mention (reference: ner_config.py:200-307). Exercised on
+    a corpus with real multi-id groups (documents ∪ id-shifted copy)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    uni = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000_000))
+    ded = (
+        uni.filter(F.col("text").isNotNull())
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_uid"),
+            F.sort_array(F.collect_list("doc_id")).alias("files_id"),
+        )
+    )
+    m = (
+        ded.select(
+            "doc_uid", "text", "files_id",
+            F.explode(F.array(*[F.lit(s) for s in _SURFACES])).alias("NE"),
+        )
+        .withColumn("pos", F.expr("instr(text, NE)").cast("long"))
+        .filter(F.col("pos") > 0)
+        .select("doc_uid", "NE", "pos", "files_id")
+    )
+    corr = spark.createDataFrame(_CORR_ROWS, ["NE", "fid", "manual_cat"])
+    e = m.select("doc_uid", "NE", "pos", F.explode("files_id").alias("fid"))
+    j = e.join(F.broadcast(corr), ["NE", "fid"], "left")
+    return j.groupBy("doc_uid", "NE", "pos").agg(
+        F.count("manual_cat").alias("n_corr"),
+        F.min(F.when(F.col("manual_cat").isNotNull(), F.col("fid"))).alias("first_corr_fid"),
+        F.min("manual_cat").alias("manual_cat"),
+    )

@@ -218,3 +218,55 @@ def casen_mentions_table(docs: DataFrame) -> DataFrame:
         F.lit("casEN").alias("method"),
         F.col("m.grfs").alias("grfs"),
     )
+
+
+def corpus_markup(doc_ids_col, text_col) -> "F.Column":
+    """One doc's corpus serialization: ``<doc id="(1\\, 2\\,)">text</doc>``
+    (reference writer: casen_config.py:151-157 — ids joined with escaped
+    commas, trailing escape for singletons)."""
+    ids = F.concat_ws("\\, ", F.transform(doc_ids_col, lambda i: i.cast("string")))
+    ids = F.when(F.size(doc_ids_col) == 1, F.concat(ids, F.lit("\\,"))).otherwise(ids)
+    return F.concat(
+        F.lit('<doc id="('), ids, F.lit(')">'), text_col, F.lit("</doc>")
+    )
+
+
+def write_corpus(
+    docs: DataFrame,
+    out_dir: str,
+    mode: str = "single",
+    collection_col: str | None = None,
+) -> None:
+    """A3: corpus text sink in the reference's three modes
+    (reference: casen_config.py:141-176):
+
+    - ``single``: one merged corpus file (the reference's fast path,
+      README.md:30-42) -> coalesce(1) text write wrapped in <root>;
+    - ``multiple``: one file per document -> partitionBy(doc key);
+    - ``collection``: one file per collection group.
+
+    At scale ``single`` becomes "few big files" (coalesce(k)); the format
+    is only consumed by the external CasEN tool, which the engine replaces
+    (SURVEY.md §2 U4), so this sink exists for interchange parity.
+    """
+    markup = docs.select(
+        F.col("doc_uid"),
+        corpus_markup(F.col("files_id"), F.col("text")).alias("value"),
+    )
+    if mode == "single":
+        wrapped = markup.select("value").coalesce(1)
+        wrapped.write.mode("overwrite").text(out_dir)
+        return
+    if mode == "multiple":
+        markup.withColumn("doc", F.col("doc_uid")).select("doc", "value").write.mode(
+            "overwrite"
+        ).partitionBy("doc").text(out_dir)
+        return
+    if mode == "collection":
+        assert collection_col, "collection mode needs collection_col"
+        docs.select(
+            F.col(collection_col).alias("collection"),
+            corpus_markup(F.col("files_id"), F.col("text")).alias("value"),
+        ).write.mode("overwrite").partitionBy("collection").text(out_dir)
+        return
+    raise ValueError(f"unknown corpus mode: {mode}")

@@ -75,19 +75,30 @@ class Catalog:
         table: str,
         fingerprint: str,
         stage: str,
+        buckets: list[int] | None = None,
     ) -> list[dict]:
         """Write a (already bucketed) DataFrame partitioned by bucket, then
         append one manifest row per bucket written. Idempotent per bucket:
         dynamic partition overwrite replaces exactly the buckets present in
-        ``df`` and leaves the rest of the table untouched."""
+        ``df`` and leaves the rest of the table untouched.
+
+        Row counts for the manifest come from reading BACK the written
+        parquet (restricted to ``buckets`` when given) — counting ``df``
+        itself would re-execute the whole stage transform a second time.
+        """
         t0 = time.time()
         spark = df.sparkSession
         with_conf(spark)
         df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.table_dir(table))
         wall_ms = int((time.time() - t0) * 1000)
+        written = spark.read.parquet(self.table_dir(table))
+        if buckets is not None:
+            written = written.filter(F.col(BUCKET_COL).isin(list(buckets)))
         counts = {
             r[BUCKET_COL]: r["cnt"]
-            for r in df.groupBy(BUCKET_COL).agg(F.count(F.lit(1)).alias("cnt")).collect()
+            for r in written.groupBy(BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
         }
         rows = [
             {

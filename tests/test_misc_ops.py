@@ -1,0 +1,119 @@
+"""Remaining SURVEY.md §2 operators: trust filter, D7 dedup, W2 order,
+A3 corpus sink, C3 legacy conflict promotion, D6 summarize, G1 strip tags."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from ner_spark.functions.text import strip_tags
+from ner_spark.operators import consensus as C
+from ner_spark.plans.pipeline import summarize
+from ner_spark.sources import casen_xml as CX
+
+
+def _mentions(spark, rows):
+    return spark.createDataFrame(
+        rows, ["doc_uid", "NE", "label", "start", "end", "method"]
+    )
+
+
+def test_trust_filter(spark):
+    m = _mentions(
+        spark,
+        [
+            ("d1", "A", "PER", 0, 1, "casENOpti"),
+            ("d1", "B", "PER", 2, 3, "spaCy"),
+            ("d1", "C", "PER", 4, 5, "casEN_stanza"),
+        ],
+    )
+    kept = {r["NE"] for r in C.trust_filter(m).collect()}
+    assert kept == {"A", "C"}
+
+
+def test_dedup_mentions_pinned_survivor(spark):
+    m = _mentions(
+        spark,
+        [
+            ("d1", "A", "PER", 5, 9, "spaCy"),
+            ("d1", "A", "PER", 0, 4, "casEN"),  # smaller start wins
+            ("d1", "A", "LOC", 7, 8, "stanza"),  # different label survives
+        ],
+    )
+    got = {(r["label"], r["start"], r["method"]) for r in C.dedup_mentions(m).collect()}
+    assert got == {("PER", 0, "casEN"), ("LOC", 7, "stanza")}
+
+
+def test_order_mentions_tiebreakers(spark):
+    rows = [
+        ("d2", "B", "PER", 0, 1, "casEN", ["doc2"]),
+        ("d1", "A", "PER", 5, 6, "casEN", ["doc1", "doc9"]),
+        ("d1", "A", "PER", 0, 1, "casEN", ["doc1", "doc9"]),
+    ]
+    m = spark.createDataFrame(
+        rows, ["doc_uid", "NE", "label", "start", "end", "method", "files_id"]
+    )
+    ordered = [(r["doc_uid"], r["start"]) for r in C.order_mentions(m).collect()]
+    assert ordered == [("d1", 0), ("d1", 5), ("d2", 0)]
+
+
+def test_corpus_sink_single_roundtrips(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [("d1", "hello world", ["1"]), ("d2", "deux docs", ["2", "3"])],
+        ["doc_uid", "text", "files_id"],
+    )
+    out = str(tmp_path / "corpus")
+    CX.write_corpus(docs, out, mode="single")
+    [part] = [p for p in glob.glob(f"{out}/part-*") if not p.endswith(".crc")]
+    content = "<root>" + open(part, encoding="utf-8").read() + "</root>"
+    parsed = CX.parse_result_file(content)
+    got = {tuple(d["doc_ids"]): d["text"] for d in parsed}
+    assert got == {(1,): "hello world", (2, 3): "deux docs"}
+
+
+def test_legacy_conflict_promotion(spark):
+    m = _mentions(
+        spark,
+        [
+            # conflict: composite PER vs atomic ORG at same span -> promote
+            ("d1", "Madrid", "PER", 0, 6, "casEN_spaCy"),
+            ("d1", "Madrid", "ORG", 0, 6, "stanza"),
+            # excluded name: no promotion despite conflict
+            ("d2", "France", "PER", 0, 6, "casEN_stanza"),
+            ("d2", "France", "ORG", 0, 6, "spaCy"),
+            # no conflict -> untouched
+            ("d3", "Curie", "PER", 0, 5, "casEN_spaCy_stanza"),
+        ],
+    )
+    out = {
+        (r["doc_uid"], r["label"]): r["method"]
+        for r in C.legacy_conflict_promotion(m, excluded_names=("france",)).collect()
+    }
+    assert out[("d1", "PER")] == "casEN_spaCy_priority"
+    assert out[("d1", "ORG")] == "stanza"
+    assert out[("d2", "PER")] == "casEN_stanza"  # excluded -> unchanged
+    assert out[("d3", "PER")] == "casEN_spaCy_stanza"
+
+
+def test_summarize_counts(spark):
+    m = _mentions(
+        spark,
+        [
+            ("d1", "A", "PER", 0, 1, "casEN"),
+            ("d1", "B", "PER", 2, 3, "casEN"),
+            ("d2", "C", "LOC", 0, 1, "spaCy"),
+        ],
+    )
+    rows = {
+        (r["column"], r["value"]): r["count"]
+        for r in summarize(m, ["label", "method"]).collect()
+    }
+    assert rows[("label", "PER")] == 2
+    assert rows[("method", "spaCy")] == 1
+
+
+def test_strip_tags(spark):
+    df = spark.createDataFrame([("a</s> <s>b <s id=\"1\">c",)], ["t"])
+    [r] = df.select(strip_tags(F.col("t")).alias("s")).collect()
+    assert r["s"] == "a b c"
