@@ -679,3 +679,29 @@ def kg_correction_join(spark, sf_dir):
         F.min(F.when(F.col("manual_cat").isNotNull(), F.col("fid"))).alias("first_corr_fid"),
         F.min("manual_cat").alias("manual_cat"),
     )
+
+
+# quality_features is fully SQL-expressible — attach its oracle (mirrors
+# ner_spark.operators.textstats.quality_features exactly, incl. rounding)
+ORACLE["quality_features"] = """
+    WITH b AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+             length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t IN ('the', 'and', 'of', 'to', 'a'))) AS stop_en
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio,
+           round(CAST(upper AS DOUBLE) / greatest(n_chars, 1), 4) AS upper_ratio,
+           round(CAST(stop_en AS DOUBLE) / greatest(len(toks), 1), 4) AS stopword_ratio,
+           round(least(len(toks) / 100.0, 1.0) * 0.4
+                 + least(CAST(stop_en AS DOUBLE) / greatest(len(toks), 1) * 5, 1.0) * 0.3
+                 + (1 - least(CAST(punct AS DOUBLE) / greatest(n_chars, 1) * 10, 1.0)) * 0.3,
+                 4) AS quality
+    FROM b
+"""

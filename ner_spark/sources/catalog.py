@@ -89,7 +89,24 @@ class Catalog:
         t0 = time.time()
         spark = df.sparkSession
         with_conf(spark)
-        df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.table_dir(table))
+        # cluster rows by bucket before writing: each bucket dir receives
+        # exactly one file, independent of task parallelism — otherwise
+        # every one of N tasks opens a writer in every one of B bucket dirs
+        # (N x B small files; at 16 cores x 128 buckets that file storm
+        # dominates the stage and *anti-scales* with cores)
+        n_part = max(len(buckets), 1) if buckets else 64
+        df.repartition(n_part, F.col(BUCKET_COL)).write.mode("overwrite").partitionBy(
+            BUCKET_COL
+        ).parquet(self.table_dir(table))
+        # an all-empty write leaves no parquet footer behind (only _SUCCESS),
+        # which would make every later read fail schema inference — write an
+        # explicit zero-row file with the schema in that case
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(self.table_dir(table), "**", "*.parquet"), recursive=True):
+            df.drop(BUCKET_COL).limit(0).write.mode("overwrite").parquet(
+                os.path.join(self.table_dir(table), f"{BUCKET_COL}=-1")
+            )
         wall_ms = int((time.time() - t0) * 1000)
         written = spark.read.parquet(self.table_dir(table))
         if buckets is not None:

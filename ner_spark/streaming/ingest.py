@@ -21,12 +21,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from .. import schemas
 from ..extractors.combined import combined_mentions
 from ..operators import consensus as C
 from ..operators.clean import doc_text
 
-STREAM_DOCS = schemas.DOCS.add("event_ts", "timestamp")
+# NB: StructType.add mutates the receiver — build a fresh StructType so the
+# shared batch schema is not widened as an import side effect
+STREAM_DOCS = T.StructType(
+    [*schemas.DOCS.fields, T.StructField("event_ts", T.TimestampType(), True)]
+)
 
 
 def stream_docs(spark: SparkSession, input_dir: str, max_files: int = 10) -> DataFrame:

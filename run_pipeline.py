@@ -50,8 +50,20 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.input:
+        import glob as _glob
+        import os as _os
+
         docs = spark.read.parquet(args.input)
-        input_fp = f"path:{args.input}"
+        # fingerprint the file listing (name+size+mtime) so a changed input
+        # invalidates downstream checkpoints (Iceberg analogue: snapshot id)
+        import hashlib as _hashlib
+
+        listing = sorted(
+            (p, _os.path.getsize(p), int(_os.path.getmtime(p)))
+            for p in _glob.glob(f"{args.input}/**/*.parquet", recursive=True)
+        )
+        digest = _hashlib.sha256(repr(listing).encode()).hexdigest()[:12]
+        input_fp = f"path:{args.input}:{digest}"
     else:
         docs = synth.synth_docs(spark, args.n_docs, seed=args.seed)
         input_fp = f"synth:{args.n_docs}:{args.seed}"
