@@ -105,20 +105,26 @@ def minhash_signatures(
     Permutation j = xxhash64(shingle, j) mod P; signature element = min over
     the doc's shingles. JVM-side and deterministic at any parallelism.
     """
-    sh = shingles(F.col(text_col), n)
+    # project the shingle array ONCE: referencing the raw expression inside
+    # all k permutation expressions would re-tokenize and re-build the
+    # n-gram array k times per row (no CSE across sibling expressions) —
+    # measured 20x slower on long documents
+    with_sh = docs.filter(
+        F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0)
+    ).select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh"))
 
     def perm_min(j: int):
         # NB: the lambda must take exactly ONE argument — a two-arg lambda
         # (e.g. `lambda s, j=j`) is treated by F.transform as
         # (element, array_index) and silently shadows the closure variable
         return F.array_min(
-            F.transform(sh, lambda s: F.pmod(F.xxhash64(s, F.lit(j)), F.lit(HASH_P)))
+            F.transform(
+                F.col("sh"), lambda s: F.pmod(F.xxhash64(s, F.lit(j)), F.lit(HASH_P))
+            )
         )
 
     sig = F.array(*[perm_min(j) for j in range(k)])
-    return docs.filter(
-        F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0)
-    ).select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    return with_sh.select("doc", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
