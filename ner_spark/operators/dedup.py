@@ -3,24 +3,24 @@
 The reference only has exact-duplicate elimination (SURVEY.md §2 D1,
 reference: src/utils/epg_cleaner.py:61-69); a 100 TB corpus needs the whole
 ladder: exact (hash groupBy), near-dup candidates by n-gram Jaccard
-(shingle-blocking join), MinHash+LSH (band-bucket join — the scale path:
-candidate generation cost is O(docs x bands), never O(docs^2)), and SimHash
-(64-bit fingerprint, hamming-radius candidates).
+(shingle-blocking join with a document-frequency cap on hot shingles),
+MinHash+LSH (band-bucket join — the scale path: candidate generation cost
+is O(docs x bands), never O(docs^2)), and SimHash (60-bit fingerprint,
+hamming-radius candidates with pigeonhole-sound segment blocking).
 
-Everything except SimHash is pure column expressions (whole-stage codegen);
-SimHash needs per-token bit accumulation and runs as an Arrow-batched
-pandas UDF.
+Everything is pure column expressions (whole-stage codegen, no Python on
+the hot path). Hashing comes in two modes: ``xxhash64`` (fastest, JVM
+intrinsic) and ``md5`` (bit-identical in DuckDB, so the driver's SQL oracle
+can replay the exact same signatures).
 """
 
 from __future__ import annotations
 
-import hashlib
-
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HASH_P = 1_000_003  # prime modulus for shingle hashing
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit int
 
 
 def tokens(col):
@@ -40,6 +40,16 @@ def shingles(col, n: int = 3):
     return F.array_distinct(
         F.when(F.size(t) >= n, grams).otherwise(F.array(F.concat_ws(" ", t)))
     )
+
+
+def md5_60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint.
+
+    Chosen because DuckDB computes the identical value
+    (``('0x' || substr(md5(x), 1, 15))::BIGINT``), which lets the driver's
+    SQL oracle replay signature computations bit-for-bit.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -62,22 +72,43 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard via shingle-blocking join.
 
     |A ∩ B| from a shingle-equality self-join (only docs sharing >=1
     shingle are ever paired — the blocking step), then
-    J = inter / (|A| + |B| - inter). Exact, deterministic; quadratic only
-    within a shingle's posting list, which is the standard exact-verify
-    step after blocking. For corpus-scale candidate pruning use
-    minhash_lsh_pairs instead.
+    J = inter / (|A| + |B| - inter).
+
+    ``max_df``: a shingle shared by d documents contributes d^2 join pairs
+    on one key — one stop-phrase shingle with df=10^6 means 10^12 pairs on
+    a single reducer. With ``max_df`` set, shingles whose document
+    frequency exceeds it are dropped *before* the self-join (the hot set is
+    tiny, so it broadcasts into an anti-join) and the Jaccard denominators
+    are recomputed over the kept shingles — well-defined "df-capped
+    Jaccard" semantics, mirrored exactly by the SQL oracle. Stop-phrase
+    shingles carry no dedup signal, so at corpus scale the cap loses
+    nothing; ``max_df=None`` keeps the exact semantics for small inputs.
     """
     sh = (
         docs.filter(F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0))
         .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
     )
-    posting = sh.select("doc", "n_sh", F.explode("sh").alias("shingle"))
+    posting = sh.select("doc", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            posting.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        posting = posting.join(F.broadcast(hot), "shingle", "left_anti")
+        n_sh = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        posting = posting.join(n_sh, "doc")
+    else:
+        posting = posting.join(
+            sh.select("doc", F.size("sh").alias("n_sh")), "doc"
+        )
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
@@ -98,12 +129,19 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = 32, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """k-permutation MinHash signatures, pure column expressions.
 
-    Permutation j = xxhash64(shingle, j) mod P; signature element = min over
+    Permutation j = hash(shingle, j) mod P; signature element = min over
     the doc's shingles. JVM-side and deterministic at any parallelism.
+    ``hash_mode="md5"`` uses the DuckDB-replayable 60-bit md5 (slower but
+    oracle-checkable); ``"xxhash64"`` is the production fast path.
     """
     # project the shingle array ONCE: referencing the raw expression inside
     # all k permutation expressions would re-tokenize and re-build the
@@ -117,6 +155,13 @@ def minhash_signatures(
         # NB: the lambda must take exactly ONE argument — a two-arg lambda
         # (e.g. `lambda s, j=j`) is treated by F.transform as
         # (element, array_index) and silently shadows the closure variable
+        if hash_mode == "md5":
+            return F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: F.pmod(md5_60(F.concat(s, F.lit(f":{j}"))), F.lit(HASH_P)),
+                )
+            )
         return F.array_min(
             F.transform(
                 F.col("sh"), lambda s: F.pmod(F.xxhash64(s, F.lit(j)), F.lit(HASH_P))
@@ -134,6 +179,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs: band the signature, bucket-join per band.
 
@@ -143,16 +189,21 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0
     r = k // bands
-    sigs = minhash_signatures(docs, k, n, text_col, id_col)
+    sigs = minhash_signatures(docs, k, n, text_col, id_col, hash_mode)
+
+    def bucket(bi: int):
+        sliced = F.slice("sig", bi * r + 1, r)
+        if hash_mode == "md5":
+            # string bucket key = the band slice itself (SQL-replayable)
+            return F.concat_ws(",", F.transform(sliced, lambda x: x.cast("string")))
+        return F.xxhash64(sliced).cast("string")
+
     banded = sigs.select(
         "doc",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(F.slice("sig", bi * r + 1, r)).alias("bucket"),
-                    )
+                    F.struct(F.lit(bi).alias("band"), bucket(bi).alias("bucket"))
                     for bi in range(bands)
                 ]
             )
@@ -171,63 +222,95 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word tokens (Arrow-batched pandas UDF).
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash over word tokens — pure column expressions.
 
-    Per-token 64-bit blake2b hash; bit b contributes +1/-1 to counter b;
-    fingerprint bit = sign. Near-dups have small hamming distance.
+    Per-token 60-bit md5 hash; bit b contributes +1/-1 to counter b;
+    fingerprint bit = sign(counter). Round 1 ran this as a pandas UDF with
+    blake2b; the md5 column form keeps the whole computation inside
+    whole-stage codegen AND is bit-identical in DuckDB, so the driver
+    oracle can replay it.
     """
+    toks = tokens(F.col(text_col))
+    th = F.transform(toks, md5_60)
+    zeros = F.array(*[F.lit(0).cast("long")] * SIMHASH_BITS)
 
-    @F.pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if not t:
-                out.append(0)
-                continue
-            counters = [0] * 64
-            for tok in t.split():
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
-                )
-                for b in range(64):
-                    counters[b] += 1 if (h >> b) & 1 else -1
-            v = 0
-            for b in range(64):
-                if counters[b] > 0:
-                    v |= 1 << b
-            # to signed 64-bit
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)
-        return pd.Series(out, dtype="int64")
+    def bit_contrib(h: Column) -> Column:
+        return F.array(
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for b in range(SIMHASH_BITS)
+            ]
+        )
 
-    return docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc"), _simhash(F.col(text_col)).alias("simhash")
+    counters = F.aggregate(
+        th, zeros, lambda acc, h: F.zip_with(acc, bit_contrib(h), lambda a, c: a + c)
     )
+    base = docs.filter(
+        F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0)
+    ).select(F.col(id_col).alias("doc"), counters.alias("_cnt"))
+    fp = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        fp = fp + F.when(F.element_at("_cnt", b + 1) > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return base.select("doc", fp.alias("simhash"))
+
+
+def _segment_layout(n_seg: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """(offset, width) for ``n_seg`` disjoint segments covering all bits.
+
+    Widths differ by at most 1 so no segment is empty — an empty (all-zero)
+    segment would collide every pair and degenerate to a cross join.
+    """
+    base, extra = divmod(bits, n_seg)
+    assert base >= 1, f"cannot split {bits} bits into {n_seg} non-empty segments"
+    widths = [base + 1] * extra + [base] * (n_seg - extra)
+    out, off = [], 0
+    for w in widths:
+        out.append((off, w))
+        off += w
+    return out
 
 
 def simhash_near_pairs(
     docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """SimHash near-dup candidates: block on 16-bit quarters (a pair within
-    hamming<=3 of 64 bits shares at least one identical quarter), verify
-    hamming exactly with bit_count — no O(n^2) compare."""
-    sh = simhash64(docs, text_col, id_col)
-    quarters = sh.select(
+    """SimHash near-dup candidates with *sound* segment blocking.
+
+    Blocks = ``max_hamming + 1`` disjoint bit segments: a pair within the
+    radius differs in <= max_hamming bits, so by pigeonhole at least one
+    segment is identical — candidate recall is 100% at the requested radius
+    for ANY radius (round 1 hard-coded 4 blocks, which is only exhaustive
+    for hamming <= 3; a radius-10 query silently missed pairs spread over
+    all four quarters). Exact hamming verify with bit_count after blocking.
+    Wider radii mean narrower segments (coarser buckets, more candidates) —
+    the inherent SimHash selectivity/radius trade-off, now explicit.
+    """
+    sh = simhash_fingerprints(docs, text_col, id_col)
+    segs = _segment_layout(max_hamming + 1)
+    segments = sh.select(
         "doc",
         "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(q).alias("q"),
-                        F.shiftrightunsigned("simhash", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                        F.lit(i).alias("q"),
+                        F.shiftrightunsigned("simhash", off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("v"),
                     )
-                    for q in range(4)
+                    for i, (off, w) in enumerate(segs)
                 ]
             )
         ).alias("qq"),
     ).select("doc", "simhash", "qq.q", "qq.v")
-    a, b = quarters.alias("a"), quarters.alias("b")
+    a, b = segments.alias("a"), segments.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(

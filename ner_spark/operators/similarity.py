@@ -1,10 +1,14 @@
 """Similarity search over an embedding column (array<float>).
 
-Brute-force cosine top-k as the exactness baseline, and an LSH-bucketed
-(random-hyperplane) variant as the scale path: at 10^9+ vectors the
-brute-force cross join is infeasible; hyperplane buckets cut candidates by
-~2^planes while keeping recall high for near-neighbors (verified against
-brute-force in tests).
+Brute-force cosine top-k as the exactness baseline, and a *banded*
+random-hyperplane LSH variant as the scale path: at 10^9+ vectors the
+brute-force cross join is infeasible; each band is an independent set of
+hyperplanes whose sign-bits form a bucket id, and a pair is a candidate if
+it collides in ANY band (the same band-union shape as MinHash LSH in
+dedup.py). Recall at an operating cosine c with r planes/band and B bands
+is 1-(1-p^r)^B where p = 1-acos(c)/pi — a single band (the round-1 design)
+tops out at p^r, which at c=0.95, r=8 is ~0.43; the banded union pushes it
+past 0.95 (asserted against brute-force in tests).
 
 All dot products are JVM-side (``aggregate``/``zip_with``) — no Python in
 the scoring loop.
@@ -73,6 +77,17 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def band_planes(
+    dim: int, bands: int, planes_per_band: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """``bands`` independent hyperplane sets (one per LSH table).
+
+    Seeds are spread (seed + 1000*band) so the bands' sign-bits are
+    independent — the whole point of the band union.
+    """
+    return [hyperplanes(dim, planes_per_band, seed + 1000 * b) for b in range(bands)]
+
+
 def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature: bit j = sign(v . plane_j)."""
     bits = [
@@ -84,35 +99,57 @@ def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def banded_buckets(vec_col: Column, plane_sets: list[list[list[float]]]) -> Column:
+    """array<struct<band,bucket>> — one bucket id per band."""
+    return F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), lsh_signature(vec_col, planes).alias("bucket"))
+            for b, planes in enumerate(plane_sets)
+        ]
+    )
+
+
+def _explode_bands(df: DataFrame, vec_col: str, plane_sets) -> DataFrame:
+    return df.select(
+        "*", F.explode(banded_buckets(F.col(vec_col), plane_sets)).alias("_bb")
+    ).select("*", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket")).drop("_bb")
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 6,
+    bands: int = 8,
+    planes_per_band: int = 4,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's LSH bucket.
+    """Approximate top-k: score only candidates colliding in >=1 band.
 
-    At scale the bucket column is a partition/bucketing key for the vector
-    table, so a query touches ~1/2^planes of the data. Recall vs
-    brute-force is measured in tests (same deterministic seed).
+    At scale each band's bucket column is a partition/bucketing key for the
+    vector table (B narrow bucket joins, never a cross join); a query
+    touches ~B/2^r of the data. Candidate pairs are deduped across bands
+    before scoring so each pair is scored once.
     """
-    planes = hyperplanes(dim, n_planes, seed)
+    plane_sets = band_planes(dim, bands, planes_per_band, seed)
     v = vectors.select(
         F.col(id_col).alias("nb_id"),
         F.col(vec_col).cast("array<double>").alias("nb_vec"),
-    ).withColumn("bucket", lsh_signature(F.col("nb_vec"), planes))
+    )
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
-    ).withColumn("bucket", lsh_signature(F.col("q_vec"), planes))
-    scored = (
-        q.join(v, "bucket")
-        .filter(F.col("q_id") != F.col("nb_id"))
-        .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("nb_vec")), 4))
     )
+    vb = _explode_bands(v, "nb_vec", plane_sets)
+    qb = _explode_bands(q, "q_vec", plane_sets)
+    cand = (
+        qb.join(vb, ["_band", "_bucket"])
+        .filter(F.col("q_id") != F.col("nb_id"))
+        .select("q_id", "q_vec", "nb_id", "nb_vec")
+        .dropDuplicates(["q_id", "nb_id"])
+    )
+    scored = cand.withColumn("score", F.round(cosine(F.col("q_vec"), F.col("nb_vec")), 4))
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("nb_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -124,24 +161,43 @@ def lsh_topk(
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    bands: int = 6,
+    planes_per_band: int = 8,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucket self-join."""
-    planes = hyperplanes(dim, n_planes, seed)
+    """Embedding-cosine near-duplicate pairs via banded LSH self-join.
+
+    r=8, B=6 gives candidate recall 1-(1-p^8)^6 ~ 0.96 at cosine 0.95
+    (p ~ 0.899) vs ~0.43 for the single-band design; false-candidate rate
+    on orthogonal pairs is ~B/2^r ~ 2.3%, all killed by the exact-cosine
+    verify below.
+    """
+    plane_sets = band_planes(dim, bands, planes_per_band, seed)
     v = vectors.select(
         F.col(id_col).alias("doc"), F.col(vec_col).cast("array<double>").alias("vec")
-    ).withColumn("bucket", lsh_signature(F.col("vec"), planes))
-    a, b = v.alias("a"), v.alias("b")
-    return (
+    )
+    vb = _explode_bands(v, "vec", plane_sets)
+    a, b = vb.alias("a"), vb.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")),
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
         )
-        .withColumn("score", F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("score", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4))
         .filter(F.col("score") >= threshold)
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"), "score")
+        .select("doc_a", "doc_b", "score")
     )

@@ -368,11 +368,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=16, bands=4)
 
 
-@query("dedup_simhash")  # rows-only: UDF-backed fingerprint
+@query("dedup_simhash")  # oracle attached below (md5-based pure-column simhash)
 def dedup_simhash(spark, sf_dir):
     from .operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -406,21 +406,42 @@ def ann_topk_bruteforce(spark, sf_dir):
     return brute_force_topk(emb, emb.filter(F.col("vec_id") % 40 == 0), k=5)
 
 
-@query("ann_topk_lsh")  # rows-only: hyperplane literals impractical in SQL
+@query("ann_topk_lsh")  # oracle attached below (plane literals generated into SQL)
 def ann_topk_lsh(spark, sf_dir):
     from .operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") % 40 == 0), k=5)
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") % 40 == 0), k=5, bands=8, planes_per_band=4
+    )
 
 
-@query("embedding_near_dup")  # rows-only
+def _jittered_embeddings(spark, sf_dir):
+    """embeddings ∪ deterministically-jittered copy: plants one true
+    near-dup (cosine ~0.999) per source vector so the near-dup operator
+    runs at its designed >=0.95-cosine operating point on real sf data.
+    The jitter (0.05*sin(vec_id + i) per dimension) is SQL-replayable."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    jit = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.element_at(F.col("embedding"), (i + 1).cast("int"))
+        + 0.05 * F.sin((F.col("vec_id") + i).cast("double")),
+    )
+    copy = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"), jit.alias("embedding")
+    )
+    return emb.unionByName(copy)
+
+
+@query("embedding_near_dup")  # oracle attached below
 def embedding_near_dup(spark, sf_dir):
     from .operators.similarity import embedding_near_dup_pairs
 
-    # 0.35 sits at the ~99.9th percentile of pairwise cosine in the
-    # synthetic embeddings (no real near-dups there) -> small nonempty result
-    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+    return embedding_near_dup_pairs(
+        _jittered_embeddings(spark, sf_dir), threshold=0.95, bands=6, planes_per_band=8
+    )
 
 
 # ---------------------------------------------------------------------------
