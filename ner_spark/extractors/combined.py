@@ -42,8 +42,14 @@ def combined_mentions(
     skip_mod: int = 4,
     flip_mod: int = 20,
     window: int = 30,
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_uid, text) -> ranked MENTIONS rows for all systems, one pass."""
+    """(doc_uid, text) -> ranked MENTIONS rows for all systems, one pass.
+
+    ``passthrough_cols`` are carried from ``docs`` into the output
+    projection unchanged (e.g. ``event_ts`` on the streaming path, which
+    would otherwise need an unbounded stream-stream self-join to reattach).
+    """
     if gaz_grf is None:
         from ..synth import GAZ_GRF as gaz_grf
 
@@ -92,8 +98,10 @@ def combined_mentions(
         return pd.Series(out)
 
     m = F.explode(extract(F.col("doc_uid"), F.col("text"))).alias("m")
-    return docs.select(F.col("doc_uid"), F.col("text"), m).select(
+    pt = [F.col(c) for c in passthrough_cols]
+    return docs.select(F.col("doc_uid"), F.col("text"), *pt, m).select(
         "doc_uid",
+        *passthrough_cols,
         F.col("m.NE").alias("NE"),
         F.col("m.label").alias("label"),
         F.col("m.start").alias("start"),

@@ -30,10 +30,16 @@ _PATTERNS = [
     ("grfHotWord", r"\b(spark|stream)\b", "ORG"),
 ]
 
-#: sorted-grf combo that can fire for ORG words hit by gazetteer+hot+tool
+#: grf combos for F3 promotion over the testdata vocabulary. Gazetteer hits
+#: carry GAZ_GRF[label]; pattern hits add their pattern_id; grfs are sorted.
 _COMBOS = [
-    ["grfHotWord", "grfOrgGazetteer", ""],  # never fires (NaN quirk)
-    ["grfDataWord", "grfLocGazetteer", ""],  # never fires
+    # FIRES: "spark"/"stream" (ORG) matched by both the gazetteer and the
+    # grfHotWord pattern carry exactly these two sorted grfs -> the ~6% of
+    # spans skipped by both model stubs stay method="casEN" and promote
+    ["grfHotWord", "grfOrgGazetteer"],
+    # never fire (NaN quirk: "" slot cannot equal a missing grf)
+    ["grfHotWord", "grfOrgGazetteer", ""],
+    ["grfDataWord", "grfLocGazetteer", ""],
 ]
 
 

@@ -128,21 +128,37 @@ def priority_vote(df: DataFrame, labels_priority: tuple[str, ...] = ("PER",)) ->
     )
 
 
-def promote_trusted(df: DataFrame, combos: list[list[str]], promoted: str = "casENOpti") -> DataFrame:
-    """F3: trusted-pattern promotion with the reference's verified
-    missing-slot semantics (reference: ner_config.py:159-197 as run).
+def promote_trusted(
+    df: DataFrame,
+    combos: list[list[str]],
+    promoted: str = "casENOpti",
+    legacy_empty_missing: bool = False,
+) -> DataFrame:
+    """F3: trusted-pattern promotion, both reference variants.
 
-    A combo is an ordered slot triple; slot i must *null-safely* equal
-    ``grfs[i]``. An intentionally-empty slot is the literal "" which can
-    never equal a missing (NULL) grf — so short combos never fire on
-    mentions with fewer grfs, exactly the NaN quirk SURVEY.md §2 F3 pins.
+    A combo is an ordered slot triple; slot i must match ``grfs[i]``.
+
+    - Default (as-run new semantics, reference: ner_config.py:159-197):
+      slot i *null-safely* equals ``grfs[i]``; an intentionally-empty slot
+      is the literal "" which can never equal a missing (NULL) grf — so
+      short combos never fire on mentions with fewer grfs, exactly the NaN
+      quirk SURVEY.md §2 F3 pins.
+    - ``legacy_empty_missing=True`` (legacy variant, reference:
+      ner_config_old.py:241-243 — ``str(x) if notna else ""``): a missing
+      grf maps to "" before the compare, so 1-/2-graph combos with ""
+      padding DO fire on mentions with fewer grfs.
+
     Rows with ``method == 'casEN'`` matching any combo are rewritten to
-    ``casENOpti`` (the as-run code only rewrites the exact method "casEN").
+    ``casENOpti`` (both reference variants only rewrite exactly "casEN").
     """
     def combo_cond(slots: list[str]) -> Column:
         cond = F.lit(True)
         for i, slot in enumerate(slots):
-            cond = cond & F.get(F.col("grfs"), i).eqNullSafe(F.lit(slot))
+            got = F.get(F.col("grfs"), i)
+            if legacy_empty_missing:
+                cond = cond & (F.coalesce(got, F.lit("")) == F.lit(slot))
+            else:
+                cond = cond & got.eqNullSafe(F.lit(slot))
         return cond
 
     any_combo = reduce(
@@ -190,41 +206,40 @@ def legacy_conflict_promotion(
 
     The old formulation inner-joins the consensus table with itself on
     (doc_uid, NE, start, end), finds label disagreements where one side is
-    a composite method (>1 system) and the other atomic, and promotes the
-    composite side with ``_priority`` — unless the surface is in the
-    excluded-names list (case-insensitive; config.yaml:81-92). The current
-    reference replaced this with the window vote (W1/priority_vote); this
-    operator exists for parity with the legacy behavior and as the
-    self-equi-join skew pattern SURVEY.md §2 C3 calls out (hot surfaces ->
-    AQE skew splitting handles the join; the aggregation below keys on the
-    full mention key, not the surface).
+    a composite method (>1 system) and the other atomic, and promotes EVERY
+    row of that composite method with the same (NE, doc) — not just the
+    conflicting span (ner_config_old.py:205-209) — with ``_priority``,
+    unless the surface is in the excluded-names list (case-insensitive;
+    config.yaml:81-92). The current reference replaced this with the window
+    vote (W1/priority_vote); this operator exists for parity with the
+    legacy behavior and as the self-equi-join skew pattern SURVEY.md §2 C3
+    calls out (hot surfaces -> AQE skew splitting handles the join; the
+    aggregation below keys on the full mention key, not the surface).
     """
     key = ["doc_uid", "NE", "start", "end"]
     weight = method_weight(F.col("method"))
     a = df.select(*key, "label", "method").withColumn("_w", weight).alias("a")
     b = df.select(*key, "label", "method").withColumn("_w", weight).alias("b")
-    conflicts = (
+    lowered = [n.lower() for n in excluded_names]
+    # the reference promotes ALL rows of the conflicting composite method
+    # with the same (NE, doc) — across every span and label — once any span
+    # conflicts (ner_config_old.py:205-209 filters matching_rows on
+    # (method, NE, files_id_key) only), so the promotion key is
+    # (doc_uid, NE, method), not the conflicting span
+    promo_keys = (
         a.join(b, key)
         .filter(
             (F.col("a.label") != F.col("b.label"))
             & (F.col("a._w") > 1)
             & (F.col("b._w") == 1)
+            & F.col("a.label").isin(list(labels_priority))
+            & (~F.lower(F.col("a.NE")).isin(lowered) if lowered else F.lit(True))
         )
-        .select(
-            *[F.col(f"a.{k}") for k in key],
-            F.col("a.label").alias("label"),
-        )
+        .select("doc_uid", "NE", F.col("a.method").alias("method"))
         .distinct()
-    )
-    lowered = [n.lower() for n in excluded_names]
-    promoted = (
-        df.join(conflicts, [*key, "label"], "left_semi")
-        .filter(F.col("label").isin(list(labels_priority)))
-        .filter(~F.lower(F.col("NE")).isin(lowered) if lowered else F.lit(True))
-        .select(*key, "label")
         .withColumn("_promote", F.lit(1))
     )
-    out = df.join(promoted, [*key, "label"], "left")
+    out = df.join(promo_keys, ["doc_uid", "NE", "method"], "left")
     return out.withColumn(
         "method",
         F.when(

@@ -77,6 +77,31 @@ def media_from_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def media_from_ref_table(documents: DataFrame) -> DataFrame:
+    """MEDIA rows derived deterministically from the flat ``documents``
+    table (doc_id: long), so the multimodal path scales with the sf input
+    instead of an internal generator: every second doc carries one media
+    object whose type cycles image/audio/video. Payload bytes are the
+    utf-8 ref string (no object store in this sandbox); the construction
+    is pure-column and SQL-replayable."""
+    with_media = documents.filter(F.col("doc_id") % 2 == 0)
+    ref = F.format_string("media://%08d", F.col("doc_id"))
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return with_media.select(
+        ref.alias("media_ref"),
+        F.format_string("doc%08d", F.col("doc_id")).alias("doc_id"),
+        mtype.alias("media_type"),
+        F.encode(ref, "utf-8").alias("payload"),
+        F.struct(
+            F.length(ref).cast("long").alias("content_length"),
+            F.lit("fake/ref").alias("codec"),
+        ).alias("meta"),
+    )
+
+
 def _decode_one(payload: bytes, media_type: str, fake: bool):
     if not fake:
         # real codec path (PIL / ffmpeg) — not available in this container
@@ -84,11 +109,13 @@ def _decode_one(payload: bytes, media_type: str, fake: bool):
             "media decode requires image/audio codecs not present in this "
             "environment; call with fake=True for the deterministic stub"
         )
-    h = hashlib.blake2b(payload or b"", digest_size=8).digest()
+    # md5 (not blake2b) so the DuckDB oracle can replay the fake dimensions
+    # byte-for-byte: width = 64 + digest[0] % 192, etc.
+    h = hashlib.md5(payload or b"").digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
     n_frames = 1 if media_type == "image" else 1 + h[2] % 30
-    feats = [((b % 97) - 48) / 48.0 for b in hashlib.blake2b(payload or b"", digest_size=16).digest()]
+    feats = [((b % 97) - 48) / 48.0 for b in h]
     return width, height, n_frames, feats
 
 

@@ -63,6 +63,8 @@ class Runner:
         """Run one bucket-resumable stage; returns (full output DF, fp)."""
         t0 = time.time()
         fingerprint = _fp(name, input_fingerprint, params, str(self.n_buckets))
+        # wipes stale data from any previous fingerprint (see claim_fingerprint)
+        self.catalog.claim_fingerprint(name, fingerprint)
         done = self.catalog.completed_buckets(name, fingerprint)
         missing = sorted(set(range(self.n_buckets)) - done)
         rows_written = 0
@@ -114,6 +116,7 @@ class Runner:
         """All-or-nothing stage (e.g. connected components)."""
         t0 = time.time()
         fingerprint = _fp(name, input_fingerprint, params)
+        self.catalog.claim_fingerprint(name, fingerprint)
         done = self.catalog.completed_buckets(name, fingerprint)
         if not done:
             out = compute()

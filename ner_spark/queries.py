@@ -588,16 +588,37 @@ def events_sessionize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (stubbed decode; rows-only)
+# Multimodal plumbing (stubbed decode behind real mapInPandas batching).
+# Media derive from the sf documents table (scales with sf_dir) and the
+# fake codec is md5-based, so DuckDB replays the decoded dimensions exactly
+# — the mapInPandas Arrow plumbing is what the driver check exercises.
 # ---------------------------------------------------------------------------
 
-@query("multimodal_decode")
+@query(
+    "multimodal_decode",
+    """
+    WITH m AS (
+      SELECT printf('media://%08d', doc_id) AS ref,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS media_type
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    d AS (
+      SELECT media_type,
+             64 + (('0x' || substr(md5(ref), 1, 2))::INT % 192) AS width,
+             64 + (('0x' || substr(md5(ref), 3, 2))::INT % 192) AS height
+      FROM m
+    )
+    SELECT media_type, count(*) AS n_media,
+           round(avg(width), 2) AS avg_w, round(avg(height), 2) AS avg_h
+    FROM d GROUP BY media_type
+    """,
+)
 def multimodal_decode(spark, sf_dir):
-    from . import synth
-    from .operators.multimodal import decode_media, media_from_docs
+    from .operators.multimodal import decode_media, media_from_ref_table
 
-    docs = synth.synth_docs(spark, 2000, seed=42)
-    decoded = decode_media(media_from_docs(docs), fake=True)
+    media = media_from_ref_table(_t(spark, sf_dir, "documents"))
+    decoded = decode_media(media, fake=True)
     return decoded.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.round(F.avg("width"), 2).alias("avg_w"),

@@ -210,7 +210,10 @@ def casen_mentions_table(docs: DataFrame) -> DataFrame:
     m = F.explode("mentions").alias("m")
     return docs.select(F.col("doc_ids"), F.col("text"), m).select(
         F.format_string("doc%08d", F.col("doc_ids")[0]).alias("doc_uid"),
-        F.col("doc_ids").alias("files_id"),
+        # engine contract is files_id: array<string> (schemas.CLEAN_DOCS;
+        # apply_corrections' string sentinel requires it) — cast the parsed
+        # numeric ids so CasEN-ingested mentions flow through the chain
+        F.transform("doc_ids", lambda i: i.cast("string")).alias("files_id"),
         F.col("m.NE").alias("NE"),
         F.col("m.label").alias("label"),
         F.col("m.start").alias("start"),

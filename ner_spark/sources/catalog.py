@@ -42,6 +42,44 @@ class Catalog:
     def manifest_path(self, table: str) -> str:
         return os.path.join(self.root, f"{table}.manifest.jsonl")
 
+    def fingerprint_path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.fingerprint")
+
+    def claim_fingerprint(self, table: str, fingerprint: str) -> bool:
+        """Make ``table`` safe to resume under ``fingerprint``.
+
+        Dynamic partition overwrite only replaces buckets *present in the
+        new write*: after a fingerprint change (input/params/n_buckets), a
+        bucket that had rows under the old fingerprint but produces zero
+        rows — or is out of range — under the new one would silently leak
+        stale parquet into every later read. So the first writer under a
+        new fingerprint wipes the table dir + manifest and records a
+        marker file BEFORE writing data; the marker (not the manifest) is
+        the source of truth, which also covers a crash between the data
+        write and the manifest append. Returns True if the table was reset.
+        """
+        marker = self.fingerprint_path(table)
+        prev = None
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as f:
+                prev = f.read().strip()
+        if prev == fingerprint:
+            return False
+        self.reset_table(table)
+        os.makedirs(self.root, exist_ok=True)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write(fingerprint)
+        return True
+
+    def reset_table(self, table: str) -> None:
+        import shutil
+
+        if os.path.isdir(self.table_dir(table)):
+            shutil.rmtree(self.table_dir(table))
+        self.clear_manifest(table)
+        if os.path.exists(self.fingerprint_path(table)):
+            os.remove(self.fingerprint_path(table))
+
     # -- manifest ----------------------------------------------------------
     def manifest_rows(self, table: str) -> list[dict]:
         path = self.manifest_path(table)

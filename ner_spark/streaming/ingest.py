@@ -46,14 +46,20 @@ def stream_docs(spark: SparkSession, input_dir: str, max_files: int = 10) -> Dat
 
 def stream_mentions(docs: DataFrame, gazetteer: DataFrame, patterns: DataFrame) -> DataFrame:
     """Stateless per-doc extraction on the stream (same fused extractor as
-    batch; no shuffle, no state)."""
+    batch; no shuffle, no state).
+
+    ``event_ts`` rides through the extractor's output projection — the
+    round-1 formulation re-joined the mentions stream with the docs stream
+    to reattach it, a watermark-less stream-stream join whose state grows
+    unboundedly in a continuous deployment."""
     normalized = docs.select(
         F.col("doc_id").alias("doc_uid"),
         doc_text(F.col("spans")).alias("text"),
         "event_ts",
     ).filter(F.col("text").isNotNull() & (F.col("text") != ""))
-    m = combined_mentions(normalized.drop("event_ts"), gazetteer, patterns)
-    return m.join(normalized.select("doc_uid", "event_ts"), "doc_uid")
+    return combined_mentions(
+        normalized, gazetteer, patterns, passthrough_cols=("event_ts",)
+    )
 
 
 def windowed_label_counts(

@@ -79,6 +79,11 @@ def test_legacy_conflict_promotion(spark):
             # conflict: composite PER vs atomic ORG at same span -> promote
             ("d1", "Madrid", "PER", 0, 6, "casEN_spaCy"),
             ("d1", "Madrid", "ORG", 0, 6, "stanza"),
+            # same composite method + NE at ANOTHER span in d1: the legacy
+            # reference promotes it too (doc-scoped, ner_config_old.py:205-209)
+            ("d1", "Madrid", "LOC", 20, 26, "casEN_spaCy"),
+            # same NE but different method in d1: untouched
+            ("d1", "Madrid", "PER", 40, 46, "casEN_stanza"),
             # excluded name: no promotion despite conflict
             ("d2", "France", "PER", 0, 6, "casEN_stanza"),
             ("d2", "France", "ORG", 0, 6, "spaCy"),
@@ -87,13 +92,15 @@ def test_legacy_conflict_promotion(spark):
         ],
     )
     out = {
-        (r["doc_uid"], r["label"]): r["method"]
+        (r["doc_uid"], r["start"], r["label"]): r["method"]
         for r in C.legacy_conflict_promotion(m, excluded_names=("france",)).collect()
     }
-    assert out[("d1", "PER")] == "casEN_spaCy_priority"
-    assert out[("d1", "ORG")] == "stanza"
-    assert out[("d2", "PER")] == "casEN_stanza"  # excluded -> unchanged
-    assert out[("d3", "PER")] == "casEN_spaCy_stanza"
+    assert out[("d1", 0, "PER")] == "casEN_spaCy_priority"
+    assert out[("d1", 0, "ORG")] == "stanza"
+    assert out[("d1", 20, "LOC")] == "casEN_spaCy_priority"  # doc-scoped spill-over
+    assert out[("d1", 40, "PER")] == "casEN_stanza"  # different method untouched
+    assert out[("d2", 0, "PER")] == "casEN_stanza"  # excluded -> unchanged
+    assert out[("d3", 0, "PER")] == "casEN_spaCy_stanza"
 
 
 def test_summarize_counts(spark):
@@ -117,3 +124,23 @@ def test_strip_tags(spark):
     df = spark.createDataFrame([("a</s> <s>b <s id=\"1\">c",)], ["t"])
     [r] = df.select(strip_tags(F.col("t")).alias("s")).collect()
     assert r["s"] == "a b c"
+
+
+def test_model_extractor_stub_and_real_branch(spark, gazetteer):
+    """use_model=False pins the deterministic stub; the real nlp.pipe branch
+    runs only where fr_core_news_sm is installed (skipif-marked)."""
+    import pytest
+
+    from ner_spark.extractors import model_stub as M
+
+    docs = spark.createDataFrame(
+        [("d1", "Marie Curie visite Paris avec Victor Hugo.")], ["doc_uid", "text"]
+    )
+    stub_rows = M.model_mentions(docs, gazetteer, use_model=False).collect()
+    assert all(r["method"] == "spaCy" for r in stub_rows)
+
+    assert isinstance(M._have_spacy(), bool)
+    if not M._have_spacy():
+        pytest.skip("spaCy fr_core_news_sm not installed in this container")
+    real_rows = M.model_mentions(docs, gazetteer, use_model=True).collect()
+    assert any(r["NE"] == "Marie Curie" for r in real_rows)  # pragma: no cover

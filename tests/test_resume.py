@@ -84,6 +84,29 @@ def test_partial_resume_recomputes_only_damaged_buckets(spark, first_run):
     assert rows1 == rows2
 
 
+def test_fingerprint_change_wipes_stale_buckets(spark, tmp_path_factory):
+    """Dynamic overwrite only rewrites buckets present in the new write: a
+    fingerprint change whose transform emits zero rows for a bucket that
+    previously had data must NOT leak the old rows into reads (the marker
+    file added in round 2 resets the table dir on fingerprint change)."""
+    out = tmp_path_factory.mktemp("kg_stale")
+    docs = synth.synth_docs(spark, 50, seed=1)
+    runner = Runner(spark=spark, catalog=Catalog(str(out)), n_buckets=N_BUCKETS)
+    full, _ = runner.stage("s0_normalize", docs, normalize_docs, key="doc_id",
+                           input_fingerprint="all")
+    assert full.count() == 50
+
+    # new fingerprint, transform keeps ONE doc -> 3 of 4 buckets are empty
+    def keep_one(df):
+        return normalize_docs(df).filter(F.col("doc_id") == "doc00000007")
+
+    runner2 = Runner(spark=spark, catalog=Catalog(str(out)), n_buckets=N_BUCKETS)
+    small, _ = runner2.stage("s0_normalize", docs, keep_one, key="doc_id",
+                             input_fingerprint="one")
+    got = [r["doc_id"] for r in small.select("doc_id").collect()]
+    assert got == ["doc00000007"]  # no stale rows from the previous fingerprint
+
+
 def test_changed_input_invalidates_downstream(spark, tmp_path_factory):
     out = tmp_path_factory.mktemp("kg_fp")
     docs = synth.synth_docs(spark, 50, seed=1)
