@@ -196,6 +196,15 @@ def order_mentions(df: DataFrame) -> DataFrame:
     return df.orderBy(F.col("files_id")[0], "start", "end", "NE", "label", "method")
 
 
+def order_mentions_indexed(df: DataFrame) -> DataFrame:
+    """W2/W3 in materialized form: ``order_idx`` = the row's position under
+    the order_mentions sort. A bare global sort is invisible to an
+    order-insensitive row hash, so the driver-verifiable variant emits the
+    position as data (same sort keys, same tie-breakers)."""
+    w = Window.orderBy(F.col("files_id")[0], "start", "end", "NE", "label", "method")
+    return df.withColumn("order_idx", F.row_number().over(w).cast("long"))
+
+
 def legacy_conflict_promotion(
     df: DataFrame,
     excluded_names: tuple[str, ...] = (),

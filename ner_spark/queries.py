@@ -747,3 +747,8 @@ ORACLE["quality_features"] = """
                  4) AS quality
     FROM b
 """
+
+
+# extended operator coverage registers into the same Q/ORACLE dicts
+# (imported last: the modules use the `query` decorator defined above)
+from . import queries_kg  # noqa: E402,F401

@@ -205,6 +205,23 @@ def scan_casen_results(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def parse_casen_markup(df: DataFrame, markup_col: str = "markup") -> DataFrame:
+    """Parse a CasEN markup *column* (one ``<doc>`` string per row) with the
+    same tokenizer as the file scan — lets tests and driver queries run the
+    U1 parser over deterministically constructed markup without touching
+    the filesystem. Same Arrow batching as scan_casen_results."""
+
+    @F.pandas_udf(T.ArrayType(CASEN_DOC))
+    def parse(contents: pd.Series) -> pd.Series:
+        return contents.map(parse_result_file)
+
+    return df.select(F.explode(parse(F.col(markup_col))).alias("d")).select(
+        F.col("d.doc_ids").alias("doc_ids"),
+        F.col("d.text").alias("text"),
+        F.col("d.mentions").alias("mentions"),
+    )
+
+
 def casen_mentions_table(docs: DataFrame) -> DataFrame:
     """Explode parsed docs into the engine's MENTIONS shape (method=casEN)."""
     m = F.explode("mentions").alias("m")
