@@ -361,11 +361,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
 
 
-@query("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB equivalent
+@query("dedup_minhash_lsh")  # oracle attached below (md5 signatures replayed)
 def dedup_minhash_lsh(spark, sf_dir):
     from .operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=16, bands=4)
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=16, bands=4, hash_mode="md5"
+    )
 
 
 @query("dedup_simhash")  # oracle attached below (md5-based pure-column simhash)
@@ -429,8 +431,16 @@ def _jittered_embeddings(spark, sf_dir):
         lambda i: F.element_at(F.col("embedding"), (i + 1).cast("int"))
         + 0.05 * F.sin((F.col("vec_id") + i).cast("double")),
     )
-    copy = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1_000_000_000).alias("vec_id"), jit.alias("embedding")
+    # jitter FIRST, rename SECOND: projecting `vec_id + 1e9 AS vec_id`
+    # alongside the jitter expression silently rebinds the lambda's
+    # ``vec_id`` to the sibling alias (Spark 4 lateral column aliases),
+    # shifting every sin() input by 1e9
+    copy = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", jit.alias("embedding"))
+        .select(
+            (F.col("vec_id") + 1_000_000_000).alias("vec_id"), "embedding"
+        )
     )
     return emb.unionByName(copy)
 
@@ -752,3 +762,4 @@ ORACLE["quality_features"] = """
 # extended operator coverage registers into the same Q/ORACLE dicts
 # (imported last: the modules use the `query` decorator defined above)
 from . import queries_kg  # noqa: E402,F401
+from . import queries_hash  # noqa: E402,F401

@@ -1,0 +1,190 @@
+"""Generated SQL oracles for the hash/LSH-based dedup + similarity queries.
+
+Round 1 left minhash/simhash/hyperplane-LSH as rows-only driver checks
+("no DuckDB xxhash64", "plane literals impractical"). Both objections fall
+with generation: the engine's md5-based hash (dedup.md5_60) is bit-identical
+to ``('0x' || substr(md5(x), 1, 15))::BIGINT`` in DuckDB, and the hyperplane
+sets are small enough to inline as SQL array literals (repr-formatted
+doubles reproduce the exact IEEE values). The SQL below is *generated from
+the same parameters* as the Spark queries but executes entirely inside
+DuckDB — an independent replay of signatures, banding, candidate joins, and
+scoring.
+
+Float caveat: dot products use DuckDB's list_dot_product vs the engine's
+sequential fold; orders differ at ~1e-16 relative, which only matters if a
+dot lands within ~1e-13 of a bucket-sign boundary or a score lands equally
+close to the rounded threshold — vanishingly unlikely at these data sizes,
+and the driver re-checks every round.
+"""
+
+from __future__ import annotations
+
+from .operators.dedup import HASH_P, SIMHASH_BITS, _segment_layout
+from .operators.similarity import band_planes
+from .queries import ORACLE, _SHINGLE_SQL
+
+
+def _md5_60(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh: k=16, bands=4, md5 mode (mirrors queries.dedup_minhash_lsh)
+# ---------------------------------------------------------------------------
+
+def _minhash_sql(k: int = 16, bands: int = 4) -> str:
+    r = k // bands
+    perms = ", ".join(
+        f"list_min(list_transform(sh, s -> {_md5_60(f'''s || ':{j}' ''')} % {HASH_P}))"
+        for j in range(k)
+    )
+    banded = "\n      UNION ALL ".join(
+        f"SELECT doc, {b} AS band, "
+        f"array_to_string(sig[{b * r + 1}:{b * r + r}], ',') AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (SELECT doc, [{perms}] AS sig FROM sh),
+    banded AS (
+      {banded}
+    )
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    """
+
+
+ORACLE["dedup_minhash_lsh"] = _minhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash: 60-bit md5 simhash + (max_hamming+1)-segment blocking
+# (mirrors queries.dedup_simhash at max_hamming=3)
+# ---------------------------------------------------------------------------
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    fp_terms = " +\n        ".join(
+        f"CASE WHEN list_sum(list_transform(th, h -> "
+        f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b}::BIGINT ELSE 0::BIGINT END"
+        for b in range(SIMHASH_BITS)
+    )
+    segs = _segment_layout(max_hamming + 1)
+    seg_sel = "\n      UNION ALL ".join(
+        f"SELECT doc, simhash, {i} AS q, "
+        f"(simhash >> {off}) & {(1 << w) - 1} AS v FROM fp"
+        for i, (off, w) in enumerate(segs)
+    )
+    return f"""
+    WITH th AS (
+      SELECT doc_id AS doc,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            t -> {_md5_60('t')}) AS th
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ),
+    fp AS (
+      SELECT doc,
+        ({fp_terms}) AS simhash
+      FROM th
+    ),
+    seg AS (
+      {seg_sel}
+    )
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM seg a JOIN seg b ON a.q = b.q AND a.v = b.v AND a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+ORACLE["dedup_simhash"] = _simhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# hyperplane-LSH oracles: plane literals inlined into generated SQL
+# ---------------------------------------------------------------------------
+
+def _plane_lit(p: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in p) + "]"
+
+
+def _bucket_expr(vec: str, planes: list[list[float]]) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, {_plane_lit(p)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+
+
+def _banded_sql(src: str, vec: str, plane_sets: list[list[list[float]]]) -> str:
+    return "\n      UNION ALL ".join(
+        f"SELECT *, {b} AS band, ({_bucket_expr(vec, planes)}) AS bucket FROM {src}"
+        for b, planes in enumerate(plane_sets)
+    )
+
+
+def _ann_lsh_sql(k: int = 5, bands: int = 8, planes_per_band: int = 4,
+                 dim: int = 64, seed: int = 42) -> str:
+    plane_sets = band_planes(dim, bands, planes_per_band, seed)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    vb AS (
+      {_banded_sql('e', 'v', plane_sets)}
+    ),
+    qb AS (SELECT * FROM vb WHERE vec_id % 40 = 0),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS nb_id
+      FROM qb q JOIN vb n
+        ON q.band = n.band AND q.bucket = n.bucket AND q.vec_id <> n.vec_id
+    ),
+    scored AS (
+      SELECT c.q_id, c.nb_id,
+             round(list_cosine_similarity(eq.v, en.v), 4) AS score
+      FROM cand c JOIN e eq ON eq.vec_id = c.q_id JOIN e en ON en.vec_id = c.nb_id
+    ),
+    ranked AS (
+      SELECT q_id, nb_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, nb_id ASC) AS rank
+      FROM scored
+    )
+    SELECT q_id, nb_id, score, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+ORACLE["ann_topk_lsh"] = _ann_lsh_sql()
+
+
+def _near_dup_sql(threshold: float = 0.95, bands: int = 6, planes_per_band: int = 8,
+                  dim: int = 64, seed: int = 42) -> str:
+    plane_sets = band_planes(dim, bands, planes_per_band, seed)
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    jit AS (
+      -- NB: the jitter must reference the SOURCE vec_id; DuckDB's lateral
+      -- column aliases would silently bind a same-named alias instead
+      SELECT vec_id + 1000000000 AS jid,
+             list_transform(range({dim}),
+               i -> v[i + 1] + 0.05 * sin(CAST(vec_id + i AS DOUBLE))) AS jv
+      FROM base WHERE vec_id % 10 = 0
+    ),
+    e AS (SELECT * FROM base UNION ALL SELECT jid AS vec_id, jv AS v FROM jit),
+    vb AS (
+      {_banded_sql('e', 'v', plane_sets)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM vb a JOIN vb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             round(list_cosine_similarity(ea.v, eb.v), 4) AS score
+      FROM cand c JOIN e ea ON ea.vec_id = c.doc_a JOIN e eb ON eb.vec_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, score FROM scored WHERE score >= {threshold}
+    """
+
+
+ORACLE["embedding_near_dup"] = _near_dup_sql()

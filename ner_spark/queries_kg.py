@@ -686,3 +686,164 @@ def text_scalar_functions(spark, sf_dir):
             "part-%05d.parquet", (F.col("doc_id") % 100).cast("int")
         ).alias("fname"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage over the shipped TPC-H tables: multi-table join chain,
+# semi/anti joins, rollup (VERDICT round-1 "missing" #4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q3_shipping",
+    """
+    SELECT o.o_orderkey,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18, 6))
+                          * CAST(1 - l.l_discount AS DECIMAL(9, 6))), 2)
+                AS DOUBLE) AS revenue,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    """,
+)
+def tpch_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 shape: 3-table join chain with a selective dimension
+    filter. The filtered customer side broadcasts (map-side join, no
+    shuffle of lineitem by custkey); the orders-lineitem join shuffles on
+    the join key once. Revenue is computed AND rounded entirely in DECIMAL
+    (cast each factor, multiply, sum, round, only then cast to double):
+    double sums differ across engines under reordering, and rounding a
+    double differs at exact halves (Spark rounds the shortest decimal
+    repr, DuckDB the binary value — seen live on a x.235 sum)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(c.select("c_custkey"))
+        .join(o, F.col("c_custkey") == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderpriority")
+    )
+
+
+@query(
+    "tpch_semi_join",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def tpch_semi_join(spark, sf_dir):
+    """Left-semi join: customers with at least one urgent order. Semi joins
+    never duplicate the left side and stream the right side's keys only."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+
+
+@query(
+    "tpch_anti_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def tpch_anti_join(spark, sf_dir):
+    """Left-anti join: customers with NO urgent order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "tpch_rollup_revenue",
+    """
+    SELECT coalesce(n.n_name, '(all)') AS n_name_g,
+           coalesce(o.o_orderpriority, '(all)') AS prio_g,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18, 4))) AS DOUBLE), 2)
+             AS total_price,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY ROLLUP (n.n_name, o.o_orderpriority)
+    """,
+)
+def tpch_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation over a 3-table join (nation x priority subtotals
+    + grand total). Group labels coalesce to '(all)' on both sides so
+    subtotal rows hash identically."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name_g"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("prio_g"),
+            "total_price",
+            "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/A7/A8: checkpointed sink + lineage manifest + fingerprint invalidation,
+# surfaced to the driver (rows-only: bucket ids come from xxhash64)
+# ---------------------------------------------------------------------------
+
+@query("kg_checkpoint_manifest")
+def kg_checkpoint_manifest(spark, sf_dir):
+    """A6 partitioned sink + A7 lineage manifest + A8 fingerprint
+    invalidation (reference: Excel sink ner_config.py:291-307, @chrono log,
+    prepare/archive folders): runs S0+S1 through the bucket-resumable
+    Runner into a scratch catalog and returns the manifest rows — stage,
+    bucket, and per-bucket row counts are deterministic for a given sf."""
+    import tempfile
+
+    from .flagship import docs_as_spans
+    from .operators.clean import dedup_docs, normalize_docs
+    from .plans.runner import Runner
+    from .sources.catalog import Catalog
+
+    docs = docs_as_spans(_t(spark, sf_dir, "documents"))
+    out = tempfile.mkdtemp(prefix="kg_manifest_")
+    runner = Runner(spark=spark, catalog=Catalog(out), n_buckets=8)
+    _, fp0 = runner.stage("s0_normalize", docs, normalize_docs, key="doc_id",
+                          input_fingerprint=f"sf:{sf_dir}")
+    s0 = runner.catalog.read(spark, "s0_normalize").drop("_bucket")
+    runner.stage("s1_dedup", s0, dedup_docs, key="text", input_fingerprint=fp0)
+    rows = [
+        (r["stage"], int(r["bucket"]), int(r["rows"]))
+        for t in ("s0_normalize", "s1_dedup")
+        for r in runner.catalog.manifest_rows(t)
+    ]
+    return spark.createDataFrame(rows, ["stage", "bucket", "n_rows"])
