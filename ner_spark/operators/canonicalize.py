@@ -28,6 +28,22 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
+def _edge_stats(e: DataFrame) -> tuple[int, int]:
+    """(count, order-independent checksum) of an edge set in ONE action.
+
+    Convergence probe: two consecutive rounds with equal count AND equal
+    sum-of-xxhash64 are the same distinct edge set (collision odds ~2^-64
+    per round). Replaces the round-1 ``exceptAll``/isEmpty probe, which was
+    a full anti-join shuffle per iteration; the checksum is a map-side
+    partial aggregate (summed as decimal so 10^12 edges cannot overflow).
+    """
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("chk"),
+    ).collect()[0]
+    return int(row["n"]), int(row["chk"] or 0)
+
+
 def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     """(src, dst) edge list -> (node, component) with component = min node id
     of the component (lexicographic for strings — stable, deterministic).
@@ -51,7 +67,7 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = e.count()
+    n_edges, chk = _edge_stats(e)
     for _ in range(max_iter):
         # --- large-star ---
         sym = _symmetrize(e)  # (src=u, dst=neighbor)
@@ -74,11 +90,11 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         )
         part2 = mins2.select("src", F.col("m").alias("dst"))
         e_new = part1.unionByName(part2).distinct().localCheckpoint(eager=True)
-        n_new = e_new.count()
-        if n_new == n_edges and e_new.exceptAll(e).isEmpty():
+        n_new, chk_new = _edge_stats(e_new)
+        if n_new == n_edges and chk_new == chk:
             e = e_new
             break
-        e, n_edges = e_new, n_new
+        e, n_edges, chk = e_new, n_new, chk_new
     comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = (
         comp.select(F.col("component").alias("node"))

@@ -337,11 +337,21 @@ _SHINGLE_SQL = """
 """
 
 
+_NGRAM_MAX_DF = 50
+
+
 @query(
     "dedup_ngram_jaccard",
     f"""
     WITH sh AS ({_SHINGLE_SQL}),
-    posting AS (SELECT doc, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+    posting0 AS (SELECT doc, unnest(sh) AS shingle FROM sh),
+    hot AS (SELECT shingle FROM posting0 GROUP BY shingle
+            HAVING count(*) > {_NGRAM_MAX_DF}),
+    posting1 AS (SELECT doc, shingle FROM posting0
+                 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    nsh AS (SELECT doc, count(*) AS n_sh FROM posting1 GROUP BY doc),
+    posting AS (SELECT p.doc, p.shingle, n.n_sh
+                FROM posting1 p JOIN nsh n ON p.doc = n.doc),
     inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
              count(*) AS inter
@@ -356,9 +366,17 @@ _SHINGLE_SQL = """
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    """df-capped Jaccard (the 100 TB-safe shape): shingles with document
+    frequency > {max_df} are stop-phrases carrying no dedup signal, but
+    each contributes df^2 join pairs on ONE key — the round-1 uncapped
+    query was the slowest bench entry purely from this skew. The cap
+    changes the denominators too (recomputed over kept shingles), and the
+    oracle implements the identical capped semantics."""
     from .operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.1, max_df=_NGRAM_MAX_DF
+    )
 
 
 @query("dedup_minhash_lsh")  # oracle attached below (md5 signatures replayed)
