@@ -28,8 +28,22 @@ def tokens(col):
 
 
 def shingles(col, n: int = 3):
-    """Distinct word n-gram shingles of a text column."""
+    """Distinct word n-gram shingles of a text column.
+
+    NB: ``col`` should be a plain column REFERENCE to an already-projected
+    token array or text attribute where possible — the gram builder
+    references its input 3 times per shingle index, and Catalyst performs
+    no CSE across those references, so an inline ``split(...)`` expression
+    here re-tokenizes the text ~3*n_shingles times per row (measured 5x
+    slowdown at sf0.1). Use :func:`shingled` for the safe two-projection
+    form.
+    """
     t = tokens(col)
+    return _shingles_of(t, n)
+
+
+def _shingles_of(t, n: int):
+    """Gram builder over a token-array column (see caveat in shingles)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
     grams = F.transform(
         idx,
@@ -40,6 +54,28 @@ def shingles(col, n: int = 3):
     return F.array_distinct(
         F.when(F.size(t) >= n, grams).otherwise(F.array(F.concat_ws(" ", t)))
     )
+
+
+def shingled(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, sh) with the tokenization materialized in its OWN projection:
+    the token split runs once per row and the gram builder reads the
+    resulting attribute. CollapseProject will not merge the two projections
+    because the token alias is referenced 3*n_shingles times and is not
+    cheap — exactly the barrier we want."""
+    toks = docs.filter(
+        F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0)
+    ).select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks"))
+    return toks.select("doc", _shingles_of(F.col("_toks"), n).alias("sh"))
+
+
+def affine_coeffs(k: int, seed: int = 1234) -> list[tuple[int, int]]:
+    """k deterministic affine permutation coefficients (a, b) over Z_P."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, HASH_P), rng.randrange(0, HASH_P)) for _ in range(k)]
 
 
 def md5_60(col: Column) -> Column:
@@ -90,11 +126,17 @@ def ngram_jaccard_pairs(
     shingles carry no dedup signal, so at corpus scale the cap loses
     nothing; ``max_df=None`` keeps the exact semantics for small inputs.
     """
-    sh = (
-        docs.filter(F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0))
-        .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh"))
+    sh = shingled(docs, n, text_col, id_col)
+    # the posting list feeds the df-count, the anti-join, the n_sh
+    # recount, AND both sides of the self-join — six consumers of the
+    # same subtree; without a materialization barrier Spark recomputes
+    # the tokenize+gram work for each (measured 6x wall at sf0.1).
+    # localCheckpoint(eager=False) materializes on first use; the data is
+    # exactly what the self-join would shuffle anyway.
+    posting = (
+        sh.select("doc", F.explode("sh").alias("shingle"))
+        .localCheckpoint(eager=False)
     )
-    posting = sh.select("doc", F.explode("sh").alias("shingle"))
     if max_df is not None:
         hot = (
             posting.groupBy("shingle")
@@ -103,12 +145,8 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         posting = posting.join(F.broadcast(hot), "shingle", "left_anti")
-        n_sh = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-        posting = posting.join(n_sh, "doc")
-    else:
-        posting = posting.join(
-            sh.select("doc", F.size("sh").alias("n_sh")), "doc"
-        )
+    n_sh = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    posting = posting.join(n_sh, "doc").localCheckpoint(eager=False)
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
@@ -143,25 +181,38 @@ def minhash_signatures(
     ``hash_mode="md5"`` uses the DuckDB-replayable 60-bit md5 (slower but
     oracle-checkable); ``"xxhash64"`` is the production fast path.
     """
-    # project the shingle array ONCE: referencing the raw expression inside
-    # all k permutation expressions would re-tokenize and re-build the
-    # n-gram array k times per row (no CSE across sibling expressions) —
-    # measured 20x slower on long documents
-    with_sh = docs.filter(
-        F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0)
-    ).select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh"))
+    # project tokens, then the shingle array, each ONCE (see shingled):
+    # referencing raw expressions inside all k permutation expressions
+    # would re-tokenize and re-build the n-gram array k times per row (no
+    # CSE across sibling expressions) — measured 20x slower on long docs
+    with_sh = shingled(docs, n, text_col, id_col)
+
+    if hash_mode == "md5":
+        # ONE md5 per shingle (materialized as its own projection), then k
+        # affine permutations (a_j*h + b_j) mod P over the reduced hash —
+        # 16x fewer md5 evaluations than hashing (shingle, j) pairs, and
+        # the integer constants replay verbatim in the SQL oracle. h is
+        # reduced mod P first so a_j*h never overflows int64.
+        hs = with_sh.select(
+            "doc",
+            F.transform(
+                F.col("sh"), lambda s: F.pmod(md5_60(s), F.lit(HASH_P))
+            ).alias("hs"),
+        )
+        def perm(a: int, b: int):
+            # closure (not default args): F.transform treats any 2+-param
+            # lambda as (element, array_index) and would shadow a/b
+            return F.array_min(
+                F.transform(F.col("hs"), lambda h: F.pmod(a * h + b, F.lit(HASH_P)))
+            )
+
+        sig = F.array(*[perm(a, b) for a, b in affine_coeffs(k)])
+        return hs.select("doc", sig.alias("sig"))
 
     def perm_min(j: int):
         # NB: the lambda must take exactly ONE argument — a two-arg lambda
         # (e.g. `lambda s, j=j`) is treated by F.transform as
         # (element, array_index) and silently shadows the closure variable
-        if hash_mode == "md5":
-            return F.array_min(
-                F.transform(
-                    F.col("sh"),
-                    lambda s: F.pmod(md5_60(F.concat(s, F.lit(f":{j}"))), F.lit(HASH_P)),
-                )
-            )
         return F.array_min(
             F.transform(
                 F.col("sh"), lambda s: F.pmod(F.xxhash64(s, F.lit(j)), F.lit(HASH_P))

@@ -19,7 +19,7 @@ and the driver re-checks every round.
 
 from __future__ import annotations
 
-from .operators.dedup import HASH_P, SIMHASH_BITS, _segment_layout
+from .operators.dedup import HASH_P, SIMHASH_BITS, _segment_layout, affine_coeffs
 from .operators.similarity import band_planes
 from .queries import ORACLE, _SHINGLE_SQL
 
@@ -35,8 +35,8 @@ def _md5_60(expr: str) -> str:
 def _minhash_sql(k: int = 16, bands: int = 4) -> str:
     r = k // bands
     perms = ", ".join(
-        f"list_min(list_transform(sh, s -> {_md5_60(f'''s || ':{j}' ''')} % {HASH_P}))"
-        for j in range(k)
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {HASH_P}))"
+        for a, b in affine_coeffs(k)
     )
     banded = "\n      UNION ALL ".join(
         f"SELECT doc, {b} AS band, "
@@ -45,7 +45,9 @@ def _minhash_sql(k: int = 16, bands: int = 4) -> str:
     )
     return f"""
     WITH sh AS ({_SHINGLE_SQL}),
-    sig AS (SELECT doc, [{perms}] AS sig FROM sh),
+    hsh AS (SELECT doc, list_transform(sh, s -> {_md5_60('s')} % {HASH_P}) AS hs
+            FROM sh),
+    sig AS (SELECT doc, [{perms}] AS sig FROM hsh),
     banded AS (
       {banded}
     )

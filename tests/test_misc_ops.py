@@ -144,3 +144,25 @@ def test_model_extractor_stub_and_real_branch(spark, gazetteer):
         pytest.skip("spaCy fr_core_news_sm not installed in this container")
     real_rows = M.model_mentions(docs, gazetteer, use_model=True).collect()
     assert any(r["NE"] == "Marie Curie" for r in real_rows)  # pragma: no cover
+
+
+def test_excel_shim_roundtrip(spark, tmp_path):
+    """Excel interchange shim: .xlsx when an engine exists, CSV fallback
+    otherwise — either way the correction dimension round-trips."""
+    import warnings
+
+    from ner_spark.sources import excel as X
+
+    corr = spark.createDataFrame(
+        [("Marie Curie", "PER", "doc00000001", "personne")],
+        ["NE", "label", "files_id", "manual_cat"],
+    )
+    target = str(tmp_path / "corrections.xlsx")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        written = X.write_excel(corr, target)
+    assert written.endswith(".xlsx") or written.endswith(".csv")
+    back = X.read_excel_dim(spark, written)
+    assert [tuple(r) for r in back.collect()] == [
+        ("Marie Curie", "PER", "doc00000001", "personne")
+    ]
