@@ -76,32 +76,48 @@ def fuse(
             .select("doc_uid", "NE", "label", "start", "end", "method", "grfs", "context")
             .withColumn("_rank", F.lit(rank))
         )
-    return fuse_ranked(reduce(DataFrame.unionByName, ranked), num_partitions)
+    return fuse_ranked(
+        reduce(DataFrame.unionByName, ranked), num_partitions, n_ranks=len(source_order)
+    )
 
 
-def fuse_ranked(unioned: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """C1 on a single pre-ranked mentions table (``_rank`` = fold position,
-    e.g. from the fused one-pass extractor). One repartition on doc_uid —
-    the aggregation and every downstream per-doc window reuse it."""
+def fuse_ranked(
+    unioned: DataFrame, num_partitions: int | None = None, n_ranks: int = 3
+) -> DataFrame:
+    """C1 on a single pre-ranked mentions table (``_rank`` = fold position
+    in [0, n_ranks), e.g. from the fused one-pass extractor). One
+    repartition on doc_uid — the aggregation and every downstream per-doc
+    window reuse it.
+
+    The ordered provenance concat is built from ``n_ranks`` declarative
+    min-slots joined with ``concat_ws`` (which skips absent/NULL slots) —
+    NOT from ``array_sort``+``transform``+``array_join`` over a
+    ``collect_list``: higher-order functions on aggregation results run
+    interpreted, and their per-element lambda evaluation scales
+    NEGATIVELY with task threads (measured 24 s for the bare
+    collect_list vs 373 s with the HOF chain at local[16], same data —
+    a 15x cliff that inverted the whole chain's core-scaling). At most
+    one row per (mention key, rank) exists by construction, so
+    min(when(rank=i, method)) is exact.
+    """
     if num_partitions:
         unioned = unioned.repartition(num_partitions, "doc_uid")
     else:
         unioned = unioned.repartition("doc_uid")
 
     rank = F.col("_rank")
+    slots = [
+        F.min(F.when(rank == i, F.col("method"))).alias(f"_m{i}")
+        for i in range(n_ranks)
+    ]
     return (
         unioned.groupBy(*KEYS)
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct(rank.alias("r"), F.col("method").alias("m")))),
-                    lambda s: s["m"],
-                ),
-                "_",
-            ).alias("method"),
+            *slots,
             _first_by_rank(F.col("grfs"), rank).alias("grfs"),
             _first_by_rank(F.col("context"), rank).alias("context"),
         )
+        .withColumn("method", F.concat_ws("_", *[F.col(f"_m{i}") for i in range(n_ranks)]))
         .select("doc_uid", "NE", "label", "start", "end", "method", "grfs", "context")
     )
 

@@ -114,21 +114,22 @@ def kg_consensus_fusion(spark, sf_dir):
     reformulation of the reference's iterated full-outer join fold
     (reference: ner_config.py:57-117), oracle-checked against plain SQL."""
     sys = _mention_systems(spark, sf_dir)
+    # declarative rank-slot mins + concat_ws (skips absent slots), NOT
+    # array_sort+transform over collect_list: interpreted HOF evaluation on
+    # aggregation results anti-scales with task threads (see
+    # consensus.fuse_ranked for the measurement)
     return (
         sys.repartition("doc_id")
         .groupBy("doc_id", "NE", "pos")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("rank").alias("r"), F.col("src").alias("s")))
-                    ),
-                    lambda x: x["s"],
-                ),
-                "_",
-            ).alias("method"),
+            *[
+                F.min(F.when(F.col("rank") == i, F.col("src"))).alias(f"_s{i}")
+                for i in range(3)
+            ],
             F.count(F.lit(1)).alias("n_sys"),
         )
+        .withColumn("method", F.concat_ws("_", "_s0", "_s1", "_s2"))
+        .select("doc_id", "NE", "pos", "method", "n_sys")
     )
 
 

@@ -109,6 +109,9 @@ def test_vote_and_promote_stay_jvm_side(spark):
     voted = C.promote_trusted(C.priority_vote(fused), [["a", "b", "c"]])
     plan = plan_of(voted, "simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "Window" in plan and "HashAggregate" in plan
+    # fuse aggregates via declarative min-slots; the struct-valued
+    # first-by-rank mins make it a SortAggregate (HashAggregate cannot
+    # buffer struct/array types) — either aggregate node is JVM-side
+    assert "Window" in plan and ("HashAggregate" in plan or "SortAggregate" in plan)
     # the promote combo compiles to null-safe comparisons, not a UDF
     assert "<=>" in plan
