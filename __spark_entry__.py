@@ -24,11 +24,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ner_spark import queries as Q
 
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(Q.Q)
-    from ner_spark.flagship import flagship_triples
-
-    out["kg_flagship_triples"] = flagship_triples  # rows-only (pandas-UDF extractors)
-    return out
+    return dict(Q.Q)
 
 
 def oracle_sql() -> dict[str, str]:

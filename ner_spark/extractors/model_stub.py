@@ -32,16 +32,20 @@ _COMPILED: dict[int, tuple] = {}
 
 
 def _crc(*parts) -> int:
-    """Stable well-mixed hash of the key parts.
+    """Stable well-mixed 60-bit hash of the key parts.
 
     NOT crc32: CRC is affine, so two keys differing only in a same-length
     trailing salt ("skip" vs "flip") produce values at a constant XOR — the
     two decisions would be perfectly correlated across every mention.
+
+    md5 (first 15 hex digits) rather than blake2b because DuckDB computes
+    the bit-identical value — ``('0x' || substr(md5(x), 1, 15))::BIGINT``,
+    the same cross-engine trick as operators.dedup.md5_60 — which lets the
+    driver oracle replay every skip/flip decision in pure SQL
+    (queries_flagship.py) and check the full flagship pipeline by hash.
     """
-    digest = hashlib.blake2b(
-        ":".join(str(p) for p in parts).encode("utf-8"), digest_size=8
-    ).digest()
-    return int.from_bytes(digest, "big")
+    key = ":".join(str(p) for p in parts)
+    return int(hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16)
 
 
 _SPACY_MODEL = "fr_core_news_sm"

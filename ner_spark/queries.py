@@ -782,3 +782,4 @@ ORACLE["quality_features"] = """
 # (imported last: the modules use the `query` decorator defined above)
 from . import queries_kg  # noqa: E402,F401
 from . import queries_hash  # noqa: E402,F401
+from . import queries_flagship  # noqa: E402,F401

@@ -817,10 +817,42 @@ def tpch_rollup_revenue(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # A6/A7/A8: checkpointed sink + lineage manifest + fingerprint invalidation,
-# surfaced to the driver (rows-only: bucket ids come from xxhash64)
+# surfaced to the driver. Fully oracle-checked since the bucket hash became
+# md5-based (sources/catalog.with_bucket): DuckDB replays every bucket
+# assignment, so per-bucket manifest row counts are plain SQL.
 # ---------------------------------------------------------------------------
 
-@query("kg_checkpoint_manifest")
+_MANIFEST_BUCKETS = 8
+
+_MANIFEST_SQL = f"""
+    WITH d AS (
+      -- docs_as_spans + S0 normalize (NULL span text joins to '')
+      SELECT printf('d%09d', doc_id) AS did,
+             coalesce(trim(regexp_replace(text, '\\s+', ' ', 'g')), '') AS text
+      FROM documents
+    ),
+    s0 AS (   -- stage output bucketed on doc_id: one row per source doc
+      SELECT ('0x' || substr(md5(did), 1, 15))::BIGINT % {_MANIFEST_BUCKETS} AS bucket,
+             count(*) AS n
+      FROM d GROUP BY 1
+    ),
+    s1d AS (SELECT text FROM d WHERE text <> '' GROUP BY text),
+    s1 AS (   -- dedup stage bucketed on text: one row per distinct text
+      SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT % {_MANIFEST_BUCKETS} AS bucket,
+             count(*) AS n
+      FROM s1d GROUP BY 1
+    ),
+    b AS (SELECT unnest(generate_series(0, {_MANIFEST_BUCKETS - 1})) AS bucket)
+    SELECT 's0_normalize' AS stage, b.bucket::INT AS bucket,
+           coalesce(s0.n, 0)::BIGINT AS n_rows
+    FROM b LEFT JOIN s0 USING (bucket)
+    UNION ALL
+    SELECT 's1_dedup', b.bucket::INT, coalesce(s1.n, 0)::BIGINT
+    FROM b LEFT JOIN s1 USING (bucket)
+"""
+
+
+@query("kg_checkpoint_manifest", _MANIFEST_SQL)
 def kg_checkpoint_manifest(spark, sf_dir):
     """A6 partitioned sink + A7 lineage manifest + A8 fingerprint
     invalidation (reference: Excel sink ner_config.py:291-307, @chrono log,
@@ -836,7 +868,7 @@ def kg_checkpoint_manifest(spark, sf_dir):
 
     docs = docs_as_spans(_t(spark, sf_dir, "documents"))
     out = tempfile.mkdtemp(prefix="kg_manifest_")
-    runner = Runner(spark=spark, catalog=Catalog(out), n_buckets=8)
+    runner = Runner(spark=spark, catalog=Catalog(out), n_buckets=_MANIFEST_BUCKETS)
     _, fp0 = runner.stage("s0_normalize", docs, normalize_docs, key="doc_id",
                           input_fingerprint=f"sf:{sf_dir}")
     s0 = runner.catalog.read(spark, "s0_normalize").drop("_bucket")

@@ -26,9 +26,16 @@ BUCKET_COL = "_bucket"
 
 def with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
     """Deterministic hash bucket — same key always lands in the same bucket
-    at any parallelism, which is what makes partial re-runs sound."""
+    at any parallelism, which is what makes partial re-runs sound.
+
+    md5-based (operators.dedup.md5_60) rather than xxhash64 so the bucket
+    assignment — and therefore every per-bucket manifest row count — is
+    replayable in the driver's DuckDB oracle
+    (``('0x' || substr(md5(key), 1, 15))::BIGINT % n``)."""
+    from ..operators.dedup import md5_60
+
     return df.withColumn(
-        BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+        BUCKET_COL, F.pmod(md5_60(F.col(key)), F.lit(n_buckets)).cast("int")
     )
 
 
