@@ -99,6 +99,60 @@ def _spacy_scan_batch(doc_uids, texts, nlp):
     return out
 
 
+_STANZA_LANG = "fr"
+
+
+def _load_stanza(lang: str = _STANZA_LANG):
+    """Load the Stanza pipeline once per Python worker; None if unavailable."""
+    key = f"stanza:{lang}"
+    if key not in _NLP_CACHE:
+        try:  # pragma: no cover - model not present in this container
+            import stanza
+
+            _NLP_CACHE[key] = stanza.Pipeline(
+                lang=lang,
+                processors="tokenize,ner",
+                download_method=None,  # never reach the network from a worker
+                verbose=False,
+            )
+        except Exception:
+            _NLP_CACHE[key] = None
+    return _NLP_CACHE[key]
+
+
+def _have_stanza(lang: str = _STANZA_LANG) -> bool:
+    """Driver-side probe: True iff stanza AND its models load here."""
+    key = f"stanza:{lang}"
+    if key not in _PROBE:
+        _PROBE[key] = _load_stanza(lang) is not None
+    return _PROBE[key]
+
+
+def _stanza_scan_batch(doc_uids, texts, nlp):
+    """Real-Stanza path: the whole Arrow batch goes through ONE bulk_process
+    call (list-of-Document batching). The reference instead concatenates the
+    batch into one giant string and walks a cursor to re-attribute entity
+    offsets to rows (reference: stanza_config.py:101-166); per-document
+    processing makes ``ent.start_char`` already row-relative, so the whole
+    offset re-attribution scan disappears."""
+    import stanza
+
+    docs = nlp.bulk_process([stanza.Document([], text=t or "") for t in texts])
+    return [
+        [
+            {
+                "NE": e.text,
+                "label": e.type,
+                "start": e.start_char,
+                "end": e.end_char,
+                "grfs": None,
+            }
+            for e in doc.ents
+        ]
+        for doc in docs
+    ]
+
+
 def _stub_scan(doc_uid: str, text: str, gaz_re, by_surface, skip_mod: int, flip_mod: int, salt: str):
     out = []
     for m in gaz_re.finditer(text):
@@ -123,15 +177,16 @@ def model_mentions(
 ) -> DataFrame:
     """(doc_uid, text) -> MENTIONS rows for one model system.
 
-    ``use_model=None`` probes the driver for spaCy + ``fr_core_news_sm``
-    once and routes the Arrow batches through ``nlp.pipe`` when available
-    (each Python worker loads the model lazily, once); otherwise the
-    deterministic stub runs. ``method`` doubles as the determinism salt, so
-    "spaCy" and "stanza" stubs disagree with each other and with the rule
-    system in a controlled, seeded way.
+    ``use_model=None`` probes the driver once for the real model behind
+    ``method`` — spaCy ``fr_core_news_sm`` for "spaCy", the Stanza fr
+    pipeline for "stanza" — and routes the Arrow batches through it when
+    available (each Python worker loads the model lazily, once); otherwise
+    the deterministic stub runs. ``method`` doubles as the determinism
+    salt, so "spaCy" and "stanza" stubs disagree with each other and with
+    the rule system in a controlled, seeded way.
     """
     if use_model is None:
-        use_model = _have_spacy()
+        use_model = _have_stanza() if method == "stanza" else _have_spacy()
     gaz_rows = tuple(
         (r["alias"], r["label"])
         for r in gazetteer.select("alias", "label", "weight")
@@ -141,10 +196,11 @@ def model_mentions(
 
     @F.pandas_udf(MENTION_ARR)
     def extract(doc_uids: pd.Series, texts: pd.Series) -> pd.Series:
-        if use_model:
-            nlp = _load_nlp()
-            if nlp is not None:  # pragma: no cover - needs the model
-                return pd.Series(_spacy_scan_batch(doc_uids, texts, nlp))
+        if use_model:  # pragma: no cover - needs a model in the container
+            nlp = _load_stanza() if method == "stanza" else _load_nlp()
+            if nlp is not None:
+                scan = _stanza_scan_batch if method == "stanza" else _spacy_scan_batch
+                return pd.Series(scan(doc_uids, texts, nlp))
         key = hash(gaz_rows)
         if key not in _COMPILED:
             by_surface: dict[str, str] = {}

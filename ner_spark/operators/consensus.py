@@ -212,13 +212,65 @@ def order_mentions(df: DataFrame) -> DataFrame:
     return df.orderBy(F.col("files_id")[0], "start", "end", "NE", "label", "method")
 
 
-def order_mentions_indexed(df: DataFrame) -> DataFrame:
+def order_mentions_indexed(df: DataFrame, scratch_dir: str | None = None) -> DataFrame:
     """W2/W3 in materialized form: ``order_idx`` = the row's position under
     the order_mentions sort. A bare global sort is invisible to an
     order-insensitive row hash, so the driver-verifiable variant emits the
-    position as data (same sort keys, same tie-breakers)."""
-    w = Window.orderBy(F.col("files_id")[0], "start", "end", "NE", "label", "method")
-    return df.withColumn("order_idx", F.row_number().over(w).cast("long"))
+    position as data (same sort keys, same tie-breakers).
+
+    NOT ``row_number() OVER (ORDER BY ...)``: an unpartitioned window funnels
+    every row through ONE task. Distributed two-pass numbering instead:
+
+    1. range-repartition + local sort (the same distributed sort
+       ``order_mentions`` compiles to), materialize the physical partition id
+       and the within-partition position (``monotonically_increasing_id``'s
+       low 33 bits — a per-task counter that follows the sorted row order),
+       and checkpoint the result to parquet. The checkpoint pins the sampled
+       range bounds: two separate jobs over an unmaterialized range exchange
+       may resample different bounds (RangePartitioner seeds by RDD id), and
+       a cache would pin them too but leaks in long sessions — a written
+       table is deterministic, fault-tolerant, and droppable.
+    2. per-partition row counts (#partitions integers to the driver — the
+       only collect, bounded by parallelism not data) become cumulative
+       offsets, broadcast-joined back: ``order_idx = offset + local + 1``,
+       all map-side.
+
+    The sort keys are a total order (mention keys are unique per doc and
+    ``files_id[0]`` is unique per doc), so the numbering is deterministic
+    at any parallelism.
+    """
+    import tempfile
+
+    spark = df.sparkSession
+    out = scratch_dir or tempfile.mkdtemp(prefix="order_idx_")
+    sort_cols = ["_k0", "start", "end", "NE", "label", "method"]
+    (
+        df.withColumn("_k0", F.col("files_id")[0])
+        .repartitionByRange(*sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_local", F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+        )
+        .drop("_k0")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    ranked = spark.read.parquet(out)
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    odf = spark.createDataFrame(offsets, "_pid int, _off long")
+    return (
+        ranked.join(F.broadcast(odf), "_pid")
+        .withColumn("order_idx", (F.col("_off") + F.col("_local") + 1).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
 
 
 def legacy_conflict_promotion(

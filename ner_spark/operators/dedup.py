@@ -126,16 +126,20 @@ def ngram_jaccard_pairs(
     shingles carry no dedup signal, so at corpus scale the cap loses
     nothing; ``max_df=None`` keeps the exact semantics for small inputs.
     """
+    from pyspark import StorageLevel
+
     sh = shingled(docs, n, text_col, id_col)
     # the posting list feeds the df-count, the anti-join, the n_sh
     # recount, AND both sides of the self-join — six consumers of the
     # same subtree; without a materialization barrier Spark recomputes
     # the tokenize+gram work for each (measured 6x wall at sf0.1).
-    # localCheckpoint(eager=False) materializes on first use; the data is
-    # exactly what the self-join would shuffle anyway.
+    # persist(MEMORY_AND_DISK), NOT localCheckpoint: localCheckpoint
+    # truncates lineage, so on a real cluster a lost executor makes its
+    # blocks unrecoverable and fails the job — persist keeps the lineage
+    # and recomputes lost blocks, at the same local cost.
     posting = (
         sh.select("doc", F.explode("sh").alias("shingle"))
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if max_df is not None:
         hot = (
@@ -146,7 +150,7 @@ def ngram_jaccard_pairs(
         )
         posting = posting.join(F.broadcast(hot), "shingle", "left_anti")
     n_sh = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    posting = posting.join(n_sh, "doc").localCheckpoint(eager=False)
+    posting = posting.join(n_sh, "doc").persist(StorageLevel.MEMORY_AND_DISK)
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
@@ -270,6 +274,65 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
+    )
+
+
+def minhash_verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.1,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """MinHash-candidates -> exact-Jaccard-verify, composed as ONE operator.
+
+    This is the 100 TB dedup recipe the module's docstrings point at:
+    ``ngram_jaccard_pairs``'s direct shingle self-join costs O(sum df^2)
+    over shingle document frequencies (even df-capped), while the banded
+    LSH candidate join costs O(docs x bands) — so at corpus scale,
+    generate candidates with LSH and spend exact-verify work ONLY on
+    candidate pairs. Scores and output schema match ``ngram_jaccard_pairs``
+    (uncapped) restricted to LSH-caught pairs; with enough bands the two
+    outputs coincide above the threshold (recall property, pinned by
+    tests/test_dedup_similarity.py).
+
+    Join shape: the posting list is first semi-join-pruned to docs that
+    appear in any candidate pair (near-dups are rare at scale, so this
+    discards almost everything), then each pair counts its shingle
+    intersection via an equi-join on (doc, shingle).
+    """
+    cand = minhash_lsh_pairs(docs, k, bands, n, text_col, id_col, hash_mode)
+    sh = shingled(docs, n, text_col, id_col)
+    cdocs = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    sh = sh.join(cdocs, "doc", "left_semi")
+    posting = sh.select("doc", F.explode("sh").alias("shingle"))
+    n_sh = sh.select("doc", F.size("sh").cast("long").alias("n_sh"))
+    inter = (
+        cand.join(posting.alias("pa"), F.col("doc_a") == F.col("pa.doc"))
+        .join(
+            posting.alias("pb"),
+            (F.col("doc_b") == F.col("pb.doc"))
+            & (F.col("pa.shingle") == F.col("pb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = n_sh.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = n_sh.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

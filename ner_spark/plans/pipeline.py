@@ -31,6 +31,7 @@ class KGPipeline:
     labels_priority: tuple[str, ...] = ("PER",)
     num_partitions: int | None = None
     extra_sources: dict = field(default_factory=dict)
+    _cached: list = field(default_factory=list, repr=False)
 
     def clean_docs(self, docs: DataFrame) -> DataFrame:
         return clean(docs)
@@ -76,11 +77,20 @@ class KGPipeline:
         # plans.runner, where stage outputs are materialized tables
         cd = self.clean_docs(docs).cache()
         mentions = self.consensus(cd).cache()
+        self._cached.extend([cd, mentions])
         return {
             "clean": cd,
             "mentions": mentions,
             "triples": self.triples(cd, mentions),
         }
+
+    def unpersist(self) -> None:
+        """Release the stage caches ``run`` created. Call after the outputs
+        are materialized — in a long-running application the caches would
+        otherwise pin executor storage for the life of the session."""
+        for df in self._cached:
+            df.unpersist()
+        self._cached.clear()
 
 
 def ordered_mentions(mentions: DataFrame) -> DataFrame:

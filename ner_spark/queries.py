@@ -389,6 +389,19 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@query("dedup_minhash_verified")  # oracle attached below (candidates + exact verify)
+def dedup_minhash_verified(spark, sf_dir):
+    """The composed candidates->verify recipe (dedup.minhash_verified_pairs)
+    at the same parameters as dedup_minhash_lsh: banded LSH generates the
+    pairs, exact n-gram Jaccard is computed only on those pairs — the
+    operator the 100 TB dedup path actually runs."""
+    from .operators.dedup import minhash_verified_pairs
+
+    return minhash_verified_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.1, k=16, bands=4, hash_mode="md5"
+    )
+
+
 @query("dedup_simhash")  # oracle attached below (md5-based pure-column simhash)
 def dedup_simhash(spark, sf_dir):
     from .operators.dedup import simhash_near_pairs

@@ -32,7 +32,9 @@ def _md5_60(expr: str) -> str:
 # dedup_minhash_lsh: k=16, bands=4, md5 mode (mirrors queries.dedup_minhash_lsh)
 # ---------------------------------------------------------------------------
 
-def _minhash_sql(k: int = 16, bands: int = 4) -> str:
+def _minhash_cand_cte(k: int = 16, bands: int = 4) -> str:
+    """Shared WITH-body: shingles -> md5 hashes -> affine signatures ->
+    banded buckets -> distinct candidate pairs (``cand``)."""
     r = k // bands
     perms = ", ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {HASH_P}))"
@@ -43,21 +45,54 @@ def _minhash_sql(k: int = 16, bands: int = 4) -> str:
         f"array_to_string(sig[{b * r + 1}:{b * r + r}], ',') AS bucket FROM sig"
         for b in range(bands)
     )
-    return f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+    return f"""sh AS MATERIALIZED ({_SHINGLE_SQL}),
     hsh AS (SELECT doc, list_transform(sh, s -> {_md5_60('s')} % {HASH_P}) AS hs
             FROM sh),
     sig AS (SELECT doc, [{perms}] AS sig FROM hsh),
     banded AS (
       {banded}
-    )
-    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    )"""
+
+
+def _minhash_sql(k: int = 16, bands: int = 4) -> str:
+    return f"""
+    WITH {_minhash_cand_cte(k, bands)}
+    SELECT doc_a, doc_b FROM cand
     """
 
 
 ORACLE["dedup_minhash_lsh"] = _minhash_sql()
+
+
+def _minhash_verified_sql(threshold: float = 0.1, k: int = 16, bands: int = 4) -> str:
+    """Candidates from the banded LSH replay + exact (uncapped) Jaccard
+    computed only on candidate pairs — mirrors dedup.minhash_verified_pairs."""
+    return f"""
+    WITH {_minhash_cand_cte(k, bands)},
+    posting AS (SELECT doc, unnest(sh) AS shingle FROM sh),
+    nsh AS (SELECT doc, CAST(len(sh) AS BIGINT) AS n_sh FROM sh),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c
+      JOIN posting pa ON pa.doc = c.doc_a
+      JOIN posting pb ON pb.doc = c.doc_b AND pb.shingle = pa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+    FROM inter i
+    JOIN nsh na ON na.doc = i.doc_a
+    JOIN nsh nb ON nb.doc = i.doc_b
+    WHERE round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) >= {threshold}
+    """
+
+
+ORACLE["dedup_minhash_verified"] = _minhash_verified_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -80,8 +80,11 @@ def main(argv: list[str] | None = None) -> int:
     s1, fp1 = runner.stage("s1_dedup", s0, dedup_docs, key="text",
                            input_fingerprint=fp0)
 
+    stage_caches: list = []
+
     def consensus_transform(clean_part):
         clean_part = clean_part.cache()
+        stage_caches.append(clean_part)
         fused = C.fuse_ranked(pipe.ranked_mentions(clean_part))
         voted = C.priority_vote(fused, pipe.labels_priority)
         promoted = C.promote_trusted(voted, pipe.trusted_combos)
@@ -91,6 +94,11 @@ def main(argv: list[str] | None = None) -> int:
 
     s3, fp3 = runner.stage("s3_consensus", s1, consensus_transform, key="doc_uid",
                            input_fingerprint=fp1)
+    # the stage output is materialized in the catalog now — release the
+    # transform-local cache instead of pinning executor storage for the
+    # rest of the job
+    while stage_caches:
+        stage_caches.pop().unpersist()
 
     def triples_transform(mentions_part):
         return extract_triples(mentions_part, s1)

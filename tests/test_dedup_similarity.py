@@ -206,3 +206,34 @@ def test_embedding_near_dup_recall(spark, near_dup_vectors):
     found = sum(1 for p in planted if p in pairs)
     assert found / len(planted) >= 0.95, (found, len(planted))
     assert all(v >= 0.95 for v in pairs.values())
+
+
+def test_minhash_verified_equals_direct_jaccard_on_corpus(spark, corpus):
+    """The composed candidates->verify operator reproduces the direct
+    (uncapped) Jaccard output above threshold on this corpus: at k=32,
+    bands=16 (r=2), P(candidate) for J>=0.6 is ~0.999, and verified scores
+    are the exact Jaccard — so the two operators must emit identical rows."""
+    direct = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(corpus, threshold=0.6).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_verified_pairs(corpus, threshold=0.6, k=32, bands=16).collect()
+    }
+    assert verified == direct
+    assert direct  # the corpus plants near-dups; an empty compare proves nothing
+
+
+def test_minhash_verified_scores_are_exact_on_candidates(spark, corpus):
+    """Every verified pair carries the same score the direct operator
+    assigns it (the verify stage is exact, only the candidate set is
+    approximate)."""
+    direct = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(corpus, threshold=0.01).collect()
+    }
+    verified = D.minhash_verified_pairs(corpus, threshold=0.01, k=16, bands=4).collect()
+    assert verified
+    for r in verified:
+        assert direct[(r["doc_a"], r["doc_b"])] == r["jaccard"]

@@ -166,3 +166,30 @@ def test_excel_shim_roundtrip(spark, tmp_path):
     assert [tuple(r) for r in back.collect()] == [
         ("Marie Curie", "PER", "doc00000001", "personne")
     ]
+
+def test_stanza_branch_probe_and_stub(spark, gazetteer):
+    """method="stanza" routes through the Stanza probe (not the spaCy one);
+    with the model absent the deterministic stub runs, and the stub output
+    differs from the spaCy-salted stub on the same doc. The real
+    bulk_process branch runs only where the Stanza fr pipeline is
+    installed (skipif-marked)."""
+    import pytest
+
+    from ner_spark.extractors import model_stub as M
+
+    docs = spark.createDataFrame(
+        [("d1", "Marie Curie visite Paris avec Victor Hugo et Marie Curie.")],
+        ["doc_uid", "text"],
+    )
+    stanza_rows = M.model_mentions(docs, gazetteer, method="stanza", use_model=False).collect()
+    assert all(r["method"] == "stanza" for r in stanza_rows)
+    spacy_rows = M.model_mentions(docs, gazetteer, method="spaCy", use_model=False).collect()
+    key = lambda rows: sorted((r["NE"], r["label"], r["start"]) for r in rows)  # noqa: E731
+    # different salts => different skip/flip decisions at equal spans
+    assert key(stanza_rows) != key(spacy_rows)
+
+    assert isinstance(M._have_stanza(), bool)
+    if not M._have_stanza():
+        pytest.skip("stanza fr pipeline not installed in this container")
+    real_rows = M.model_mentions(docs, gazetteer, method="stanza", use_model=True).collect()
+    assert any(r["NE"] == "Marie Curie" for r in real_rows)  # pragma: no cover

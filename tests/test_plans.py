@@ -115,3 +115,27 @@ def test_vote_and_promote_stay_jvm_side(spark):
     assert "Window" in plan and ("HashAggregate" in plan or "SortAggregate" in plan)
     # the promote combo compiles to null-safe comparisons, not a UDF
     assert "<=>" in plan
+
+def test_order_index_has_no_global_window(spark, tmp_path):
+    """order_mentions_indexed must number rows WITHOUT a single-reducer
+    ``row_number() OVER (ORDER BY ...)``: the final plan may contain no
+    Window node at all, and the order index must match a local sort."""
+    rows = [
+        ("d2", "Paris", "LOC", 3, 8, "casEN", ["doc2"]),
+        ("d1", "Curie", "PER", 0, 5, "casEN", ["doc1"]),
+        ("d1", "Curie", "LOC", 7, 12, "spaCy", ["doc1"]),
+        ("d3", "Lyon", "LOC", 1, 5, "stanza", ["doc3"]),
+    ]
+    m = spark.createDataFrame(
+        rows, "doc_uid string, NE string, label string, start int, end int, method string, files_id array<string>"
+    )
+    out = C.order_mentions_indexed(m, scratch_dir=str(tmp_path / "idx"))
+    plan = plan_of(out, "simple")
+    assert "Window" not in plan, plan
+    got = {
+        (r["doc_uid"], r["start"]): r["order_idx"]
+        for r in out.collect()
+    }
+    expect = sorted(rows, key=lambda r: (r[6][0], r[3], r[4], r[1], r[2], r[5]))
+    for i, r in enumerate(expect):
+        assert got[(r[0], r[3])] == i + 1
