@@ -158,6 +158,147 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 8,
+    sample_rows: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> list[list[float]]:
+    """Train IVF coarse-quantizer centroids on a driver-side sample.
+
+    IVF training is sample-based by design (FAISS trains its coarse
+    quantizer on ~1e5-1e6 of 1e9+ vectors); the sample here is the first
+    ``sample_rows`` ids (a bounded sorted limit — deterministic, and at
+    scale a TABLESAMPLE over the id-sorted table). Lloyd iterations run
+    in float64 numpy with a seeded init; centroids are rounded so they
+    inline as SQL-replayable literals (the hyperplane-LSH trick).
+    """
+    import numpy as np
+
+    rows = (
+        vectors.select(id_col, F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return kmeans_centroids(X, n_centroids, iters, seed, round_digits)
+
+
+def kmeans_centroids(
+    X, n_centroids: int, iters: int, seed: int, round_digits: int = 6
+) -> list[list[float]]:
+    """Seeded float64 Lloyd iterations (shared by the Spark trainer and
+    the oracle-side pyarrow trainer so both derive bit-identical centroid
+    literals from the same sample)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(0)
+    return [[round(float(x), round_digits) for x in c] for c in C]
+
+
+def _cell_dist(vec: Column, centroid: list[float]) -> Column:
+    """Rank-equivalent L2 distance to a literal centroid: |c|^2 - 2*v.c
+    (the |v|^2 term is constant per row). Rounded so the argmin is stable
+    across engines' float summation orders."""
+    c = F.array(*[F.lit(x) for x in centroid])
+    c2 = sum(x * x for x in centroid)
+    return F.round(F.lit(c2) - 2.0 * _dot(vec, c), 6)
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id, declaratively: array_min over
+    struct(dist, cell) (lexicographic struct order = argmin with cell-id
+    tie-break). Narrow per-row expression — assignment of 1e9 vectors is
+    a scan, not a shuffle."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _cell_dist(vec, c).alias("d"), F.lit(j).alias("cell")
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )["cell"]
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine only within the ``nprobe``
+    cells nearest to each query.
+
+    The vector table is assigned once (``ivf_assign``, a narrow scan) —
+    at scale it is *written partitioned by cell*, so a query touches
+    nprobe/n_centroids of the data via partition pruning. Queries fan
+    out to nprobe (query, cell) rows; the candidate join is an equi-join
+    on cell, never a cross join.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("nb_id"),
+        F.col(vec_col).cast("array<double>").alias("nb_vec"),
+    ).withColumn("cell", ivf_assign(F.col("nb_vec"), centroids))
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    qcells = q.select(
+        "q_id",
+        "q_vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        _cell_dist(F.col("q_vec"), c).alias("d"),
+                        F.lit(j).alias("cell"),
+                    )
+                    for j, c in enumerate(centroids)
+                ]
+            )
+        ).alias("_dc"),
+    ).select("q_id", "q_vec", F.col("_dc.d").alias("d"), F.col("_dc.cell").alias("cell"))
+    wq = Window.partitionBy("q_id").orderBy(F.asc("d"), F.asc("cell"))
+    probed = (
+        qcells.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("q_id", "q_vec", "cell")
+    )
+    # broadcast the (small) probed query fan-out: the vector table is the
+    # big side and must not shuffle on a 16-value key — with the broadcast
+    # it is scanned in place (and partition-pruned by cell when the index
+    # is written partitioned by cell)
+    scored = (
+        v.join(F.broadcast(probed), "cell")
+        .filter(F.col("q_id") != F.col("nb_id"))
+        .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("nb_vec")), 4))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("nb_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "nb_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -450,6 +450,28 @@ def ann_topk_lsh(spark, sf_dir):
     )
 
 
+@query("ann_topk_ivf")  # oracle attached below (centroid literals generated into SQL)
+def ann_topk_ivf(spark, sf_dir):
+    """IVF ANN: exact cosine within the nprobe cells nearest each query.
+
+    Centroids come from the shared pyarrow+numpy trainer
+    (queries_hash.ivf_centroids_for) so the generated DuckDB oracle
+    inlines bit-identical literals; the engine API's Spark-side trainer
+    (similarity.train_ivf_centroids) selects the same sample.
+    """
+    from .operators.similarity import ivf_topk
+    from .queries_hash import IVF_NPROBE, ivf_centroids_for
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") % 40 == 0),
+        ivf_centroids_for(sf_dir),
+        k=5,
+        nprobe=IVF_NPROBE,
+    )
+
+
 def _jittered_embeddings(spark, sf_dir):
     """embeddings ∪ deterministically-jittered copy: plants one true
     near-dup (cosine ~0.999) per source vector so the near-dup operator

@@ -225,3 +225,102 @@ def _near_dup_sql(threshold: float = 0.95, bands: int = 6, planes_per_band: int 
 
 
 ORACLE["embedding_near_dup"] = _near_dup_sql()
+
+
+# ---------------------------------------------------------------------------
+# ann_topk_ivf: sample-trained centroids inlined as literals (data-dependent
+# oracle — the SQL is (re)generated per sf_dir via register_ivf_oracle)
+# ---------------------------------------------------------------------------
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+IVF_ITERS = 8
+IVF_SAMPLE = 2048
+IVF_SEED = 42
+
+_ivf_cache: dict[str, list[list[float]]] = {}
+
+
+def ivf_centroids_for(sf_dir: str) -> list[list[float]]:
+    """Centroids for ``{sf_dir}/embeddings.parquet`` — pyarrow load of the
+    first IVF_SAMPLE rows by vec_id through the same seeded numpy k-means
+    as the Spark trainer, so the Spark query and the generated SQL inline
+    bit-identical literals."""
+    if sf_dir not in _ivf_cache:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from .operators.similarity import kmeans_centroids
+
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        order = np.argsort(t["vec_id"].to_numpy(), kind="stable")[:IVF_SAMPLE]
+        X = np.array(
+            [t["embedding"][int(i)].as_py() for i in order], dtype=np.float64
+        )
+        _ivf_cache[sf_dir] = kmeans_centroids(X, IVF_CENTROIDS, IVF_ITERS, IVF_SEED)
+    return _ivf_cache[sf_dir]
+
+
+def _centroid_structs(vec: str, centroids: list[list[float]]) -> str:
+    """UNNEST-able list of {cell, dist} structs; dist is the rank-equivalent
+    |c|^2 - 2*v.c rounded like the engine's _cell_dist."""
+    items = []
+    for j, c in enumerate(centroids):
+        c2 = repr(sum(x * x for x in c))
+        items.append(
+            f"struct_pack(cell := {j}, d := round({c2} - "
+            f"2.0 * list_dot_product({vec}, {_plane_lit(c)}), 6))"
+        )
+    return "[" + ",\n        ".join(items) + "]"
+
+
+def _ivf_sql(sf_dir: str, k: int = 5) -> str:
+    centroids = ivf_centroids_for(sf_dir)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dists AS (
+      SELECT vec_id, v, u.cell AS cell, u.d AS d
+      FROM e, UNNEST({_centroid_structs('v', centroids)}) AS t(u)
+    ),
+    assigned AS (
+      SELECT vec_id AS nb_id, v AS nb_vec, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT vec_id AS q_id, v AS q_vec, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dists WHERE vec_id % 40 = 0
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT q.q_id, a.nb_id,
+             round(list_cosine_similarity(q.q_vec, a.nb_vec), 4) AS score
+      FROM probed q JOIN assigned a USING (cell)
+      WHERE q.q_id <> a.nb_id
+    ),
+    ranked AS (
+      SELECT q_id, nb_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, nb_id ASC) AS rank
+      FROM scored
+    )
+    SELECT q_id, nb_id, score, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def register_ivf_oracle(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    """(Re)generate the data-dependent IVF oracle for ``sf_dir``. Called at
+    import with the driver's correctness scale (sf0.01); tools/driver_sim.py
+    re-calls it when pointed at another sf_dir. If the parquet is absent the
+    entry is dropped and the query degrades to the driver's rows-only check."""
+    try:
+        ORACLE["ann_topk_ivf"] = _ivf_sql(sf_dir)
+    except Exception:
+        ORACLE.pop("ann_topk_ivf", None)
+
+
+register_ivf_oracle()

@@ -237,3 +237,32 @@ def test_minhash_verified_scores_are_exact_on_candidates(spark, corpus):
     assert verified
     for r in verified:
         assert direct[(r["doc_a"], r["doc_b"])] == r["jaccard"]
+
+
+def test_ivf_topk_full_probe_exact_and_partial_probe(spark, vectors):
+    """IVF with nprobe == n_centroids degenerates to the exact result
+    (every cell probed, scoring is exact cosine), and at nprobe=1 a query
+    still finds its planted near-identical neighbor — near-dups share the
+    query's own cell by construction."""
+    cents = S.train_ivf_centroids(
+        vectors, n_centroids=8, iters=5, sample_rows=100, seed=7
+    )
+    assert len(cents) == 8 and len(cents[0]) == 16
+    queries = vectors.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["q_id"], r["nb_id"], r["score"], r["rank"])
+        for r in S.brute_force_topk(vectors, queries, k=5).collect()
+    }
+    full = {
+        (r["q_id"], r["nb_id"], r["score"], r["rank"])
+        for r in S.ivf_topk(vectors, queries, cents, k=5, nprobe=8).collect()
+    }
+    assert full == exact
+
+    near = {
+        (r["q_id"], r["nb_id"])
+        for r in S.ivf_topk(
+            vectors, vectors.filter(F.col("vec_id") == 0), cents, k=3, nprobe=1
+        ).collect()
+    }
+    assert (0, 999) in near

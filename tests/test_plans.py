@@ -139,3 +139,22 @@ def test_order_index_has_no_global_window(spark, tmp_path):
     expect = sorted(rows, key=lambda r: (r[6][0], r[3], r[4], r[1], r[2], r[5]))
     for i, r in enumerate(expect):
         assert got[(r[0], r[3])] == i + 1
+
+
+def test_ivf_vector_side_never_shuffles(spark):
+    """IVF topk: the probed query fan-out broadcasts; the (big) vector
+    table must reach the candidate join without an Exchange on `cell` —
+    at 1e9 vectors a 16-value shuffle key would serialize the scan."""
+    from ner_spark.operators import similarity as S
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(50)],
+        ["vec_id", "embedding"],
+    )
+    cents = [[0.0, 0.0], [3.0, 1.0], [6.0, 2.0]]
+    out = S.ivf_topk(vecs, vecs.limit(5), cents, k=3, nprobe=2)
+    plan = plan_of(out, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    # exchanges: the query-side window + broadcast distribution + the
+    # final per-query ranking window — never a hash repartition on cell
+    assert "hashpartitioning(cell" not in plan, plan

@@ -51,6 +51,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # the IVF oracle inlines centroids trained from the compared sf_dir
+    from ner_spark.queries_hash import register_ivf_oracle
+
+    register_ivf_oracle(sf_dir)
+
     qs, oracles = E.queries(), E.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
