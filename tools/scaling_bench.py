@@ -52,6 +52,11 @@ def main() -> int:
     p.add_argument("--hi", type=int, default=16)
     p.add_argument("--n-buckets", type=int, default=128)
     p.add_argument("--repeats", type=int, default=2)
+    p.add_argument(
+        "--no-md",
+        action="store_true",
+        help="print the JSON result only; do not rewrite BENCH/BASELINE.md",
+    )
     args = p.parse_args()
 
     # The sandbox VM's effective CPU fluctuates run-to-run (hypervisor
@@ -79,6 +84,9 @@ def main() -> int:
         "all_walls_hi": [r["wall_sec"] for r in runs[args.hi]],
     }
     print(json.dumps(result))
+
+    if args.no_md:
+        return 0
 
     os.makedirs("BENCH", exist_ok=True)
     stage_rows_lo = "\n".join(
