@@ -304,14 +304,22 @@ def minhash_verified_pairs(
     discards almost everything), then each pair counts its shingle
     intersection via an equi-join on (doc, shingle).
     """
-    cand = minhash_lsh_pairs(docs, k, bands, n, text_col, id_col, hash_mode)
+    from pyspark import StorageLevel
+
+    # `cand` feeds cdocs (both union branches) AND the intersection join —
+    # three consumers of the full LSH candidate subtree; `sh` feeds the
+    # posting list and the n_sh sizes. Without barriers the candidate
+    # generation (the expensive half) recomputes three times per action.
+    cand = minhash_lsh_pairs(docs, k, bands, n, text_col, id_col, hash_mode).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sh = shingled(docs, n, text_col, id_col)
     cdocs = (
         cand.select(F.col("doc_a").alias("doc"))
         .unionByName(cand.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    sh = sh.join(cdocs, "doc", "left_semi")
+    sh = sh.join(cdocs, "doc", "left_semi").persist(StorageLevel.MEMORY_AND_DISK)
     posting = sh.select("doc", F.explode("sh").alias("shingle"))
     n_sh = sh.select("doc", F.size("sh").cast("long").alias("n_sh"))
     inter = (

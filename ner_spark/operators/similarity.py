@@ -316,11 +316,15 @@ def embedding_near_dup_pairs(
     on orthogonal pairs is ~B/2^r ~ 2.3%, all killed by the exact-cosine
     verify below.
     """
+    from pyspark import StorageLevel
+
     plane_sets = band_planes(dim, bands, planes_per_band, seed)
     v = vectors.select(
         F.col(id_col).alias("doc"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    vb = _explode_bands(v, "vec", plane_sets)
+    # both sides of the self-join consume the banded signatures (B*r
+    # interpreted-HOF dot products per row); a barrier computes them once
+    vb = _explode_bands(v, "vec", plane_sets).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = vb.alias("a"), vb.alias("b")
     cand = (
         a.join(

@@ -1,6 +1,6 @@
 """Simulate the driver's verify: entry() smoke + queries() vs oracle_sql().
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [sf_dir] [only_query1,only_query2,...]
 Mirrors the driver: registers the parquet tables as DuckDB views, runs each
 Spark query and its oracle SQL, compares row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted).
@@ -34,16 +34,18 @@ def value_hash(df: pd.DataFrame) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     import __spark_entry__ as E
     from ner_spark.session import get_spark
 
     spark = get_spark("driver_sim", master="local[8]", shuffle_partitions=8)
 
-    print("== entry() smoke (sf0.001)")
-    edf = E.entry(spark)
-    rows = edf.count()
-    print(f"entry rows={rows} schema={[f.name for f in edf.schema.fields]}")
-    assert rows >= 0
+    if only is None:
+        print("== entry() smoke (sf0.001)")
+        edf = E.entry(spark)
+        rows = edf.count()
+        print(f"entry rows={rows} schema={[f.name for f in edf.schema.fields]}")
+        assert rows >= 0
 
     con = duckdb.connect()
     for t in TABLES:
@@ -59,7 +61,12 @@ def main() -> int:
     qs, oracles = E.queries(), E.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
+        import time as _t
+        _t0 = _t.time()
         sdf = fn(spark, sf_dir).toPandas()
+        _wall = _t.time() - _t0
         if name not in oracles:
             print(f"{name:28s} rows-only rows={len(sdf)}")
             n_rowsonly += 1
@@ -74,7 +81,7 @@ def main() -> int:
         else:
             n_fail += 1
         print(
-            f"{name:28s} {status} rows={len(sdf)}/{len(odf)} cols={ok_cols} hash={ok_hash}"
+            f"{name:28s} {status} rows={len(sdf)}/{len(odf)} cols={ok_cols} hash={ok_hash} wall={_wall:.1f}s"
         )
         if status == "FAIL" and ok_cols:
             cols = sorted(sdf.columns)
