@@ -818,3 +818,4 @@ ORACLE["quality_features"] = """
 from . import queries_kg  # noqa: E402,F401
 from . import queries_hash  # noqa: E402,F401
 from . import queries_flagship  # noqa: E402,F401
+from . import queries_corpus  # noqa: E402,F401

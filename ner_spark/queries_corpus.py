@@ -1,0 +1,199 @@
+"""Corpus-curation operators: cluster-level dedup, contamination checks,
+stratified sampling.
+
+These extend the training-data suite past pairwise dedup into the steps a
+real corpus pipeline runs AFTER pairs exist: resolve near-dup pairs into
+clusters and pick one survivor per cluster (the actual dedup decision),
+screen documents for benchmark contamination against a broadcast probe
+set, and draw deterministic hash-based samples with per-stratum rates.
+Every query is paired with a DuckDB oracle; the md5-based 60-bit hash
+(dedup.md5_60) and the recursive-CTE min-reachable component oracle are
+the same replay tricks used by queries_hash / queries_kg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.dedup import md5_60, shingled
+from .oracle_minhash import minhash_cand_cte
+from .queries import _SHINGLE_SQL, _t, query
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_survivors: verified near-dup pairs -> connected components
+# -> one survivor per cluster (min doc id). This is the terminal step of
+# the 100 TB dedup recipe: LSH candidates (O(docs x bands)) -> exact
+# verify on candidates only -> CC over the (sparse) verified pairs ->
+# keep-list. The alternating-star CC operator shuffles O(edges) per round
+# with map-side-combinable min aggregates, so the skewed "hub" document
+# of a big duplicate cluster never concentrates on one reducer.
+# ---------------------------------------------------------------------------
+
+_SURVIVORS_SQL = f"""
+    WITH RECURSIVE {minhash_cand_cte(_SHINGLE_SQL, 16, 4)},
+    posting AS (SELECT doc, unnest(sh) AS shingle FROM sh),
+    nsh AS (SELECT doc, CAST(len(sh) AS BIGINT) AS n_sh FROM sh),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c
+      JOIN posting pa ON pa.doc = c.doc_a
+      JOIN posting pb ON pb.doc = c.doc_b AND pb.shingle = pa.shingle
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN nsh na ON na.doc = i.doc_a
+      JOIN nsh nb ON nb.doc = i.doc_b
+      WHERE round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) >= 0.1
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT component AS survivor,
+           CAST(count(*) AS BIGINT) AS n_members,
+           array_to_string(list_sort(list(node)), ',') AS members
+    FROM comp GROUP BY component
+"""
+
+
+@query("dedup_cluster_survivors", _SURVIVORS_SQL)
+def dedup_cluster_survivors(spark, sf_dir):
+    """Near-dup clusters with a pinned survivor: minhash-verified pairs
+    (same parameters as dedup_minhash_verified) -> alternating-star
+    connected components -> per-component survivor = min doc id, with the
+    sorted member list. The oracle replays the pairs in SQL and resolves
+    components with a recursive min-reachable CTE — an independent
+    formulation of the same contract (the kg_canonicalize technique)."""
+    from .operators.canonicalize import connected_components
+    from .operators.dedup import minhash_verified_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_verified_pairs(
+        docs, threshold=0.1, k=16, bands=4, hash_mode="md5"
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(edges)
+    return cc.groupBy(F.col("component").alias("survivor")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("node")), lambda m: m.cast("string")
+            ),
+            ",",
+        ).alias("members"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# contamination_check: benchmark n-gram overlap via a broadcast probe set.
+# The probe side (an eval benchmark) is tiny vs the corpus, so the join
+# broadcasts — the corpus is scanned in place, no shuffle on the big side.
+# ---------------------------------------------------------------------------
+
+_CONTAMINATION_SQL = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    probe AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc % 97 = 3),
+    tgt AS (SELECT doc, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle
+            FROM sh WHERE doc % 97 <> 3),
+    hits AS (SELECT doc, n_sh, count(*) AS n_hits
+             FROM tgt JOIN probe USING (shingle) GROUP BY 1, 2)
+    SELECT doc AS doc_id, n_hits, n_sh,
+           round(CAST(n_hits AS DOUBLE) / n_sh, 4) AS contamination
+    FROM hits
+"""
+
+
+@query("contamination_check", _CONTAMINATION_SQL)
+def contamination_check(spark, sf_dir):
+    """Benchmark-contamination screen: documents whose 3-gram shingles
+    overlap a probe set (here: the deterministic doc_id % 97 = 3 subset
+    standing in for an eval benchmark). Per contaminated doc: distinct
+    overlapping shingles, shingle count, and the overlap ratio. The probe
+    set broadcasts (F.broadcast) — at corpus scale this is a map-side
+    semi-join against a few-MB benchmark table."""
+    docs = _t(spark, sf_dir, "documents")
+    tgt_sh = shingled(docs.filter(F.col("doc_id") % 97 != 3))
+    probe_sh = (
+        shingled(docs.filter(F.col("doc_id") % 97 == 3))
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    posting = tgt_sh.select(
+        "doc",
+        F.size("sh").cast("long").alias("n_sh"),
+        F.explode("sh").alias("shingle"),
+    )
+    return (
+        posting.join(F.broadcast(probe_sh), "shingle")
+        .groupBy("doc", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_hits",
+            "n_sh",
+            F.round(F.col("n_hits") / F.col("n_sh"), 4).alias("contamination"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified: deterministic hash sampling with per-stratum rates.
+# The keep decision is a pure per-row expression (no shuffle, no RNG
+# state): md5 of the doc id -> bucket in [0, 1000) -> keep if under the
+# stratum's permille rate. Reproducible at any parallelism and replayable
+# in SQL — unlike DataFrame.sample, whose output depends on partitioning.
+# ---------------------------------------------------------------------------
+
+_STRATUM_RATES = {"short": 100, "mid": 500, "long": 1000}  # permille
+
+_SAMPLE_SQL = f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < 250 THEN 'short'
+                  WHEN length(text) < 380 THEN 'mid'
+                  ELSE 'long' END AS stratum,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+               AS bucket
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, stratum, bucket FROM s
+    WHERE bucket < CASE stratum
+                     WHEN 'short' THEN {_STRATUM_RATES["short"]}
+                     WHEN 'mid' THEN {_STRATUM_RATES["mid"]}
+                     ELSE {_STRATUM_RATES["long"]} END
+"""
+
+
+@query("sample_stratified", _SAMPLE_SQL)
+def sample_stratified(spark, sf_dir):
+    """Stratified deterministic down-sampling: length strata (short/mid/
+    long) kept at 10% / 50% / 100% via an md5 bucket on the doc id. The
+    bucket column is emitted so the oracle verifies the hash decision
+    itself, not just the rate."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    stratum = (
+        F.when(F.length("text") < 250, F.lit("short"))
+        .when(F.length("text") < 380, F.lit("mid"))
+        .otherwise(F.lit("long"))
+    )
+    bucket = F.pmod(md5_60(F.col("doc_id").cast("string")), F.lit(1000))
+    rate = (
+        F.when(F.col("stratum") == "short", F.lit(_STRATUM_RATES["short"]))
+        .when(F.col("stratum") == "mid", F.lit(_STRATUM_RATES["mid"]))
+        .otherwise(F.lit(_STRATUM_RATES["long"]))
+    )
+    return (
+        docs.select(
+            "doc_id", stratum.alias("stratum"), bucket.cast("long").alias("bucket")
+        )
+        .filter(F.col("bucket") < rate)
+    )

@@ -21,11 +21,12 @@ from __future__ import annotations
 
 from .operators.dedup import HASH_P, SIMHASH_BITS, _segment_layout, affine_coeffs
 from .operators.similarity import band_planes
+from .oracle_minhash import md5_60_sql, minhash_cand_cte
 from .queries import ORACLE, _SHINGLE_SQL
 
 
 def _md5_60(expr: str) -> str:
-    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+    return md5_60_sql(expr)
 
 
 # ---------------------------------------------------------------------------
@@ -33,30 +34,10 @@ def _md5_60(expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 def _minhash_cand_cte(k: int = 16, bands: int = 4) -> str:
-    """Shared WITH-body: shingles -> md5 hashes -> affine signatures ->
-    banded buckets -> distinct candidate pairs (``cand``)."""
-    r = k // bands
-    perms = ", ".join(
-        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {HASH_P}))"
-        for a, b in affine_coeffs(k)
-    )
-    banded = "\n      UNION ALL ".join(
-        f"SELECT doc, {b} AS band, "
-        f"array_to_string(sig[{b * r + 1}:{b * r + r}], ',') AS bucket FROM sig"
-        for b in range(bands)
-    )
-    return f"""sh AS MATERIALIZED ({_SHINGLE_SQL}),
-    hsh AS (SELECT doc, list_transform(sh, s -> {_md5_60('s')} % {HASH_P}) AS hs
-            FROM sh),
-    sig AS (SELECT doc, [{perms}] AS sig FROM hsh),
-    banded AS (
-      {banded}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
-    )"""
+    """Shared WITH-body (delegates to oracle_minhash.minhash_cand_cte —
+    a leaf module, so queries_corpus can reuse it without an import
+    cycle)."""
+    return minhash_cand_cte(_SHINGLE_SQL, k, bands)
 
 
 def _minhash_sql(k: int = 16, bands: int = 4) -> str:
