@@ -1,0 +1,115 @@
+"""Time-series driver queries: as-of join and binned range join over events.
+
+Each Spark query uses the shuffle-minimal operator from
+``operators/asof.py``; the DuckDB oracle states the same semantics in the
+naive relational form (inequality join + row_number / group by), which is
+exactly the shape the operators exist to avoid at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.asof import asof_join, range_join_binned
+from .queries import _t, query
+
+
+@query(
+    "events_asof_join",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT c.event_id, c.user_id, c.ts,
+             p.value AS purchase_value, p.ts AS purchase_ts,
+             row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      FROM clicks c LEFT JOIN purch p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+    )
+    SELECT event_id, user_id, ts, purchase_value, purchase_ts,
+           CASE WHEN purchase_ts IS NULL THEN NULL
+                ELSE epoch_us(ts) - epoch_us(purchase_ts) END AS gap_us
+    FROM pairs WHERE rn = 1
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join: each click attributed to the user's most recent prior (or
+    simultaneous) purchase. Union + one-shuffle forward-fill — the
+    distributed ASOF formulation (operators/asof.py), vs the oracle's
+    inequality-join + row_number definition."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"), "value")
+        .withColumnRenamed("value", "purchase_value")
+        .withColumn("purchase_ts", F.col("p_ts"))
+    )
+    out = asof_join(
+        clicks,
+        purch,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        values=["purchase_value", "purchase_ts"],
+        tie_col="event_id",
+        suffix="",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        "purchase_ts",
+        F.expr("timestampdiff(MICROSECOND, purchase_ts, ts)").alias("gap_us"),
+    )
+
+
+@query(
+    "events_range_join",
+    """
+    WITH win AS (
+      SELECT event_id AS window_id, user_id, ts AS w_start,
+             ts + INTERVAL 10 MINUTE AS w_end
+      FROM events WHERE event_type = 'error'
+    ),
+    probe AS (
+      SELECT user_id, ts, value FROM events WHERE event_type <> 'error'
+    )
+    SELECT w.window_id, w.user_id,
+           count(*) AS n_in_window,
+           CAST(round(sum(CAST(p.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_value
+    FROM win w JOIN probe p
+      ON p.user_id = w.user_id AND p.ts >= w.w_start AND p.ts < w.w_end
+    GROUP BY w.window_id, w.user_id
+    """,
+)
+def events_range_join(spark, sf_dir):
+    """Interval-overlap join: activity landing inside each error's 10-minute
+    window, per user. Bucket-binned equi-join (operators/asof.py) — the
+    oracle's range-predicate join would nested-loop at scale."""
+    ev = _t(spark, sf_dir, "events")
+    win = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    probe = ev.filter(F.col("event_type") != "error").select("user_id", "ts", "value")
+    joined = range_join_binned(
+        win, probe, keys=["user_id"], start="w_start", end="w_end", probe_ts="ts"
+    )
+    return joined.groupBy("window_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
