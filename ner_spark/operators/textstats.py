@@ -81,6 +81,123 @@ def bpe_ish_token_count(col: Column) -> Column:
     )
 
 
+def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-k TF-IDF terms per document (score = tf * ln(N/df)).
+
+    Shuffle plan: explode -> (doc, term) partial-agg count (map-side
+    combine), df derived FROM the tf table (one row per (doc, term), so
+    ``count(*) per term`` == document frequency — no second pass over raw
+    tokens), corpus size N as a broadcast 1-row frame, then a per-doc
+    window for the top-k. The tf<->df join shuffles by term; df is NOT
+    broadcast because at corpus scale the vocabulary is large.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z]+"), lambda t: t != ""
+    )
+    tf = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(id_col, F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct(id_col).alias("__n"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.log(F.col("__n") / F.col("df")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", F.round("score", 6).alias("score"), "rk")
+    )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals: unique-word fraction plus the most
+    frequent word and bigram with their mass fractions.
+
+    The per-row bigram transform is a narrow pre-aggregation HOF (bounded by
+    doc length, runs before any shuffle — NOT the post-agg interpreted-HOF
+    pattern that anti-scales). Winners are picked with ``max(struct(cnt,
+    value))`` so the aggregation keeps map-side combine and ties break
+    deterministically toward the lexicographically larger value.
+    """
+    toks = token_col(F.col(text_col))
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            toks.alias("__toks"),
+            F.size(toks).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= 2)
+    )
+    words = base.select(id_col, "n_tokens", F.explode("__toks").alias("w"))
+    top_w = (
+        words.groupBy(id_col, "n_tokens", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "n_tokens")
+        .agg(
+            F.max(F.struct(F.col("c"), F.col("w"))).alias("m"),
+            F.count(F.lit(1)).cast("long").alias("n_uniq"),
+        )
+    )
+    bigrams = base.select(
+        id_col,
+        "n_tokens",
+        F.explode(
+            F.expr(
+                "transform(slice(__toks, 1, size(__toks)-1),"
+                " (x, i) -> concat(x, ' ', __toks[i+1]))"
+            )
+        ).alias("bg"),
+    )
+    top_bg = (
+        bigrams.groupBy(id_col, "n_tokens", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max(F.struct(F.col("c"), F.col("bg"))).alias("mb"))
+    )
+    return (
+        top_w.join(top_bg, id_col)
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("n_uniq") / F.col("n_tokens"), 4).alias("uniq_word_frac"),
+            F.col("m.w").alias("top_word"),
+            F.round(F.col("m.c") / F.col("n_tokens"), 4).alias("top_word_frac"),
+            F.col("mb.bg").alias("top_bigram"),
+            F.round(F.col("mb.c") / (F.col("n_tokens") - 1), 4).alias("top_bigram_frac"),
+        )
+    )
+
+
+#: regex subset valid in BOTH Java regex (Spark) and RE2 (DuckDB)
+PII_EMAIL_RE = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_redact(df: DataFrame, text_col: str = "aug_text") -> DataFrame:
+    """Detect and redact email/phone PII: match counts plus the redacted
+    text (emitted as md5 to keep result rows compact). Pure JVM regex —
+    scan-speed map stage."""
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        "*",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
 def doc_fingerprint(col: Column) -> Column:
     """Order-sensitive rolling hash over the token stream (content
     fingerprint; same token sequence <=> same fingerprint mod collisions).

@@ -820,3 +820,4 @@ from . import queries_hash  # noqa: E402,F401
 from . import queries_flagship  # noqa: E402,F401
 from . import queries_corpus  # noqa: E402,F401
 from . import queries_timeseries  # noqa: E402,F401
+from . import queries_textmine  # noqa: E402,F401
