@@ -1,0 +1,71 @@
+"""Graph ranking: fixed-point PageRank over a weighted edge list.
+
+Ranks are BIGINT micro-units (1.0 == 1_000_000) and every step is integer
+multiply / integer division — exact, order-independent arithmetic, so the
+unrolled iterations replay bit-for-bit in ANSI SQL (float PageRank cannot be
+hash-compared across engines: double sums are order-sensitive). Truncating
+division is applied per edge, making the semantics fully deterministic at
+any parallelism.
+
+Scale shape: one iteration = join edges->outdeg (both keyed by src; the
+outdeg table reuses the edges shuffle partitioning) + one groupBy(dst) sum.
+Iterations unroll into a single Catalyst plan; for many iterations persist
+the rank table per round instead (lineage growth), and pre-partition edges
+by src so every round reuses the same exchange.
+
+Companion to the connected-components canonicalizer
+(operators/canonicalize.py) — together they cover the iterative-algorithm
+class the north-star pipeline needs (cluster, then rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 1_000_000
+DAMP_NUM = 850_000  # 0.85 in micro-units
+BASE = UNIT - DAMP_NUM  # 0.15
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """PageRank over weighted directed edges, fixed-point integer form:
+
+        r0(v)     = UNIT
+        contrib_e = (r(u) * w_e) div outdeg(u)        -- per-edge truncation
+        r'(v)     = BASE + (DAMP * sum contrib) div UNIT
+
+    Nodes with no in-edges settle at BASE; out-edge-less nodes leak mass
+    (the standard simplification). Returns (node, rank) with rank in
+    micro-units.
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).cast("long").alias("w")
+    )
+    nodes = e.select(F.col("u").alias("node")).union(e.select("v")).distinct()
+    outdeg = e.groupBy("u").agg(F.sum("w").alias("outdeg"))
+    rank = nodes.select("node", F.lit(UNIT).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e.join(rank.withColumnRenamed("node", "u"), "u")
+            .join(outdeg, "u")
+            .select("v", F.expr("rank * w div outdeg").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        rank = nodes.join(
+            contrib.withColumnRenamed("v", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(BASE)
+                + F.expr(f"{DAMP_NUM} * coalesce(contrib, 0L) div {UNIT}")
+            ).cast("long").alias("rank"),
+        )
+    return rank

@@ -1,0 +1,211 @@
+"""Analytic driver queries: window lag deltas, exact group quantiles, and
+grouped top-k revenue — relational/window coverage over the TPC-H-ish and
+events tables.
+
+Scale notes: lag/rank windows partition by their natural key (user /
+nation) — no global sort; quantiles use the exact ``percentile`` aggregate
+(per-group sort bounded by group size; for 100 TB swap in
+``percentile_approx`` with documented error); the revenue top-k broadcasts
+the supplier and nation dims and keeps money in DECIMAL end-to-end so the
+sum is order-independent across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators.graph import pagerank_fixedpoint
+from .queries import _t, query
+
+
+@query(
+    "events_lag_delta",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS delta_us,
+           CAST(row_number() OVER w AS BIGINT) AS seq
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_lag_delta(spark, sf_dir):
+    """Per-user inter-event gap + sequence number (lag/row_number window,
+    partitioned by user — never a global sort)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+               "(PARTITION BY user_id ORDER BY ts, event_id), ts)").alias("delta_us"),
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+@query(
+    "lineitem_quantiles",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_quantiles(spark, sf_dir):
+    """Exact interpolated per-group percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: index p*(n-1), linear interpolation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+    )
+
+
+@query(
+    "events_skew_twophase",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_skew_twophase(spark, sf_dir):
+    """Salted two-phase aggregation over a 5-value (pathologically skewed)
+    key: phase 1 groups by (key, salt) so every task gets work, phase 2
+    combines the 5xSALTS partials. Same result as a plain groupBy (the
+    oracle), but no single reducer owns a hot key at cluster scale."""
+    SALTS = 16
+    ev = _t(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("__salt", F.pmod(F.col("event_id"), F.lit(SALTS)))
+        .groupBy("event_type", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+            F.max("value").alias("pm"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv"), 2).cast("double").alias("total_value"),
+        F.round(F.max("pm"), 2).alias("max_value"),
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """Unrolled fixed-point PageRank: every step is BIGINT multiply /
+    truncating division, so the replay is exact (see operators/graph.py)."""
+    head = """
+    WITH b AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND len(string_split_regex(trim(text), '\\s+')) >= 2
+    ),
+    bg AS (
+      SELECT z[1] AS u, z[2] AS v
+      FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:])) AS z FROM b)
+    ),
+    e AS (SELECT u, v, count(*) AS w FROM bg GROUP BY 1, 2),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+    outdeg AS (SELECT u, sum(w) AS outdeg FROM e GROUP BY 1),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+    c{i} AS (
+      SELECT e.v, sum((r.rank * e.w) // o.outdeg) AS contrib
+      FROM e JOIN r{i - 1} r ON e.u = r.node JOIN outdeg o ON e.u = o.u
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT n.node,
+             CAST(150000 + (850000 * coalesce(c.contrib, 0)) // 1000000
+                  AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c{i} c ON n.node = c.v
+    )"""
+    return head + body + f"\n    SELECT node, rank FROM r{iters}"
+
+
+@query("wordgraph_pagerank", _pagerank_oracle_sql(3))
+def wordgraph_pagerank(spark, sf_dir):
+    """Fixed-point PageRank over the word-bigram graph
+    (operators/graph.py:pagerank_fixedpoint): 3 unrolled iterations, all
+    BIGINT arithmetic — the iterative-ranking companion to the CC
+    canonicalizer, exact at any parallelism."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(toks.alias("__toks")).filter(F.size("__toks") >= 2)
+    edges = (
+        base.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(__toks, 1, size(__toks)-1),"
+                    " (x, i) -> struct(x AS src, __toks[i+1] AS dst))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank_fixedpoint(edges, iters=3).select("node", "rank")
+
+
+@query(
+    "nation_top_parts",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT n.n_name, r.l_partkey,
+             CAST(round(r.revenue, 2) AS DOUBLE) AS revenue,
+             row_number() OVER (PARTITION BY r.s_nationkey
+                                ORDER BY r.revenue DESC, r.l_partkey) AS rk
+      FROM rev r JOIN nation n ON r.s_nationkey = n.n_nationkey
+    )
+    SELECT n_name, l_partkey, revenue, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def nation_top_parts(spark, sf_dir):
+    """Top-3 parts by revenue per supplier nation: broadcast dims, DECIMAL
+    money end-to-end, per-nation window top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("revenue").desc(), F.col("l_partkey")
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .join(F.broadcast(nat), rev.s_nationkey == nat.n_nationkey)
+        .select(
+            "n_name",
+            "l_partkey",
+            F.round("revenue", 2).cast("double").alias("revenue"),
+            "rk",
+        )
+    )
