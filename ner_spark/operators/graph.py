@@ -45,10 +45,20 @@ def pagerank_fixedpoint(
     (the standard simplification). Returns (node, rank) with rank in
     micro-units.
     """
+    from pyspark import StorageLevel
+
+    # e / nodes / outdeg are consumed by EVERY unrolled iteration — without
+    # barriers the edge-derivation subtree recomputes iters(+2) times per
+    # action (same multi-consumer pattern as minhash_verified_pairs)
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).cast("long").alias("w")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nodes = e.select(F.col("u").alias("node")).union(e.select("v")).distinct()
     outdeg = e.groupBy("u").agg(F.sum("w").alias("outdeg"))
     rank = nodes.select("node", F.lit(UNIT).cast("long").alias("rank"))
     for _ in range(iters):
