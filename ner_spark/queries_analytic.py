@@ -67,6 +67,67 @@ def lineitem_quantiles(spark, sf_dir):
 
 
 @query(
+    "events_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+           event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour windows per event type — the batch twin of the
+    streaming windowed sink (both engines align buckets to the epoch)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.window("ts", "1 hour").start.alias("win_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@query(
+    "orders_running_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE)
+             AS running_total,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS order_seq
+    FROM orders
+    """,
+)
+def orders_running_total(spark, sf_dir):
+    """Per-customer cumulative spend (running DECIMAL sum over an ordered
+    per-key window — partitioned by customer, never a global sort)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("running_total"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .cast("long")
+        .alias("order_seq"),
+    )
+
+
+@query(
     "events_skew_twophase",
     """
     SELECT event_type,
