@@ -63,6 +63,16 @@ def test_percentile_matches_linear_interpolation(spark):
     assert row2["p"] == 1.25  # 1 + 0.25*(2-1)
 
 
+def test_running_total_window_is_partitioned(spark):
+    """The cumulative-spend window must hash-partition by customer — a
+    single-partition Exchange here would serialize the whole table."""
+    from ner_spark.queries_analytic import orders_running_total
+
+    plan = plan_of(orders_running_total(spark, "/root/testdata/sf0.001"), "simple")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(o_custkey" in plan
+
+
 def test_nation_top_parts_broadcasts_dims(spark):
     from ner_spark.queries_analytic import nation_top_parts
 
