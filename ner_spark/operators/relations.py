@@ -58,9 +58,13 @@ def relation_triples(mentions: DataFrame, docs: DataFrame, max_gap: int = MAX_GA
     the reference walks documents strictly in offset order (SURVEY.md §1.2).
     """
     # attach the ≤max_gap chars after each mention ONCE (per mention, not
-    # per pair): the pair join then never touches the full document text
-    m = (
-        mentions.select("doc_uid", "NE", "label", "start", "end", "method")
+    # per pair): the pair join then never touches the full document text.
+    # Only the LEFT (subject) side reads the connecting text, so only it
+    # pays the docs join — the right side is the bare mention table (the
+    # naive formulation joined docs onto both sides, executing the wide
+    # text-carrying shuffle join twice per run).
+    a_src = (
+        mentions.select("doc_uid", "NE", "start", "end", "method")
         .join(docs.select("doc_uid", "text"), "doc_uid")
         .withColumn(
             "after",
@@ -73,7 +77,7 @@ def relation_triples(mentions: DataFrame, docs: DataFrame, max_gap: int = MAX_GA
     # next one — joining on (doc_uid, block) prunes the per-doc quadratic
     # pair blow-up to near-neighbors only (mention-dense docs would
     # otherwise dominate the stage)
-    a = m.withColumn(
+    a = a_src.withColumn(
         "_blk",
         F.explode(
             F.array(
@@ -82,7 +86,11 @@ def relation_triples(mentions: DataFrame, docs: DataFrame, max_gap: int = MAX_GA
             )
         ),
     ).alias("a")
-    b = m.withColumn("_blk", F.floor(F.col("start") / max_gap)).alias("b")
+    b = (
+        mentions.select("doc_uid", "NE", "start", "end", "method")
+        .withColumn("_blk", F.floor(F.col("start") / max_gap))
+        .alias("b")
+    )
     pairs = (
         a.join(b, (F.col("a.doc_uid") == F.col("b.doc_uid")) & (F.col("a._blk") == F.col("b._blk")))
         .filter(
