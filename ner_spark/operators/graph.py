@@ -79,3 +79,49 @@ def pagerank_fixedpoint(
             ).cast("long").alias("rank"),
         )
     return rank
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    Canonical ordered enumeration: every edge is normalized to ``u < v``
+    and deduplicated, then a triangle ``a < b < c`` is found exactly once
+    as the wedge (a,b)+(b,c) closed by (a,c) — two equi-joins, no
+    candidate is generated twice, so no post-hoc dedup shuffle is needed.
+
+    Scale shape: the wedge join keys on the shared vertex ``b``; its
+    output size is sum(deg(b)^2 / 2), so at 100 TB the standard prefilter
+    is to drop (or handle separately) super-hub vertices above a degree
+    cap before the join — hub handling mirrors the salted self-join in
+    operators/linking.py. The closing join is an equi-join on both
+    endpoints. The normalized edge list is consumed by three plan
+    branches, hence the explicit barrier (same multi-consumer pattern as
+    pagerank_fixedpoint above).
+    """
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wedge = (
+        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(
+            e.select(F.col("u").alias("b"), F.col("v").alias("c")),
+            "b",
+        )
+    )
+    tri = wedge.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .operators.graph import pagerank_fixedpoint
+from .operators.graph import pagerank_fixedpoint, triangle_counts
 from .queries import _t, query
 
 
@@ -270,3 +270,49 @@ def nation_top_parts(spark, sf_dir):
             "rk",
         )
     )
+
+
+_TRIANGLE_SQL = """
+    WITH b AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND len(string_split_regex(trim(text), '\\s+')) >= 2
+    ),
+    bg AS (
+      SELECT z[1] AS s, z[2] AS d
+      FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:])) AS z FROM b)
+    ),
+    e AS (
+      SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+      FROM bg WHERE s <> d
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+    GROUP BY node
+"""
+
+
+@query("wordgraph_triangles", _TRIANGLE_SQL)
+def wordgraph_triangles(spark, sf_dir):
+    """Per-node triangle counts over the undirected word-bigram graph
+    (operators/graph.py:triangle_counts): ordered wedge enumeration, each
+    triangle generated exactly once — the clustering-coefficient companion
+    to PageRank and the CC canonicalizer."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(toks.alias("__toks")).filter(F.size("__toks") >= 2)
+    edges = base.select(
+        F.explode(
+            F.expr(
+                "transform(slice(__toks, 1, size(__toks)-1),"
+                " (x, i) -> struct(x AS src, __toks[i+1] AS dst))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return triangle_counts(edges)

@@ -8,6 +8,7 @@ exactly the shape the operators exist to avoid at scale.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .operators.asof import asof_join, range_join_binned
@@ -112,4 +113,68 @@ def events_range_join(spark, sf_dir):
         F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
         .cast("double")
         .alias("sum_value"),
+    )
+
+
+@query(
+    "events_funnel",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT u.user_id, s1.t1 AS signup_ts, s2.t2 AS first_click_ts,
+           s3.t3 AS first_purchase_ts,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     WHEN s1.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage
+    FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+           LEFT JOIN s2 ON u.user_id = s2.user_id
+           LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Sequential funnel mining (signup -> first later click -> first later
+    purchase, per user) as three chained conditional window-minima over ONE
+    ``partitionBy(user_id)`` window: a single exchange and zero joins — the
+    oracle states the same chain as three inequality joins, which would
+    re-shuffle the fact table once per funnel step at scale."""
+    w = Window.partitionBy("user_id")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    x1 = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    x2 = x1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+        )
+    ).over(w)
+    x3 = x2.withColumn("t3", t3)
+    return x3.groupBy("user_id").agg(
+        F.min("t1").alias("signup_ts"),
+        F.min("t2").alias("first_click_ts"),
+        F.min("t3").alias("first_purchase_ts"),
+        F.max(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("funnel_stage"),
     )
