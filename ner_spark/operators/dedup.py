@@ -347,40 +347,38 @@ def minhash_verified_pairs(
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """60-bit SimHash over word tokens — pure column expressions.
+    """60-bit SimHash over word tokens — codegen'd explode + wide sum.
 
     Per-token 60-bit md5 hash; bit b contributes +1/-1 to counter b;
     fingerprint bit = sign(counter). Round 1 ran this as a pandas UDF with
-    blake2b; the md5 column form keeps the whole computation inside
-    whole-stage codegen AND is bit-identical in DuckDB, so the driver
-    oracle can replay it.
+    blake2b; round 2 as a per-row ``F.aggregate`` lambda over a 60-wide
+    accumulator — which executes INTERPRETED (60 x n_tokens expression-tree
+    walks per doc). The explode + 60-conditional-sum aggregation here is
+    bit-identical (verified exceptAll both ways), stays entirely inside
+    whole-stage codegen, and the groupBy's map-side partial aggregation
+    means the one shuffle carries a single 60-counter row per doc. md5 is
+    bit-identical in DuckDB, so the driver oracle replays it.
     """
-    toks = tokens(F.col(text_col))
-    th = F.transform(toks, md5_60)
-    zeros = F.array(*[F.lit(0).cast("long")] * SIMHASH_BITS)
-
-    def bit_contrib(h: Column) -> Column:
-        return F.array(
-            *[
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-                .otherwise(F.lit(-1))
-                .cast("long")
-                for b in range(SIMHASH_BITS)
-            ]
-        )
-
-    counters = F.aggregate(
-        th, zeros, lambda acc, h: F.zip_with(acc, bit_contrib(h), lambda a, c: a + c)
-    )
     base = docs.filter(
         F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0)
-    ).select(F.col(id_col).alias("doc"), counters.alias("_cnt"))
+    ).select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks"))
+    tok = base.select("doc", F.explode("_toks").alias("_t")).withColumn(
+        "_h", md5_60(F.col("_t"))
+    )
+    counters = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_c{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
     fp = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
-        fp = fp + F.when(F.element_at("_cnt", b + 1) > 0, F.lit(1 << b)).otherwise(
+        fp = fp + F.when(F.col(f"_c{b}") > 0, F.lit(1 << b)).otherwise(
             F.lit(0)
         ).cast("long")
-    return base.select("doc", fp.alias("simhash"))
+    return counters.select("doc", fp.alias("simhash"))
 
 
 def _segment_layout(n_seg: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
@@ -413,7 +411,13 @@ def simhash_near_pairs(
     Wider radii mean narrower segments (coarser buckets, more candidates) —
     the inherent SimHash selectivity/radius trade-off, now explicit.
     """
-    sh = simhash_fingerprints(docs, text_col, id_col)
+    from pyspark import StorageLevel
+
+    # both sides of the self-join consume the fingerprint subtree — persist
+    # so the hash + wide aggregation runs once, not twice
+    sh = simhash_fingerprints(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     segs = _segment_layout(max_hamming + 1)
     segments = sh.select(
         "doc",
