@@ -316,3 +316,54 @@ def wordgraph_triangles(spark, sf_dir):
         ).alias("e")
     ).select("e.src", "e.dst")
     return triangle_counts(edges)
+
+
+@query(
+    "tpch_bucketed_join",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def tpch_bucketed_join(spark, sf_dir):
+    """Fact-fact join through pre-bucketed tables (sources/bucketed.py):
+    both sides written bucketed+sorted on the join key, so the join and
+    the downstream per-key work run exchange-free (plan pinned by
+    tests/test_bucketed.py). Same rows as the oracle's plain join — the
+    bucketing moves the shuffle to write time, it never changes results."""
+    import tempfile
+
+    from .sources.bucketed import write_bucketed
+
+    nb = 8
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        "bq_orders",
+        nb,
+        ["o_custkey"],
+        sort_cols=["o_custkey"],
+        path=tempfile.mkdtemp(prefix="bq_orders_"),
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        "bq_customer",
+        nb,
+        ["c_custkey"],
+        sort_cols=["c_custkey"],
+        path=tempfile.mkdtemp(prefix="bq_customer_"),
+    )
+    o, c = spark.table("bq_orders"), spark.table("bq_customer")
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
