@@ -1,0 +1,72 @@
+"""Registry-wide physical-plan audit: every driver query, one sweep.
+
+test_plans.py pins specific plan shapes (one-exchange consensus, broadcast
+linking); this sweep enforces the *global* anti-pattern rules across the
+whole ``queries()`` registry so a new query can't quietly reintroduce a
+cartesian product or a row-at-a-time Python eval node:
+
+- no CartesianProduct / BroadcastNestedLoopJoin anywhere except the
+  labeled brute-force ANN baseline (the intentional exactness baseline);
+- no row-at-a-time ``BatchEvalPython`` anywhere — Python must enter plans
+  only as Arrow-batched ``ArrowEvalPython`` (pandas UDFs), and only in the
+  queries that genuinely need a parser/model;
+- no single-partition global-sort Exchange (``SinglePartition``) anywhere.
+
+Runs against sf0.001 so side-effecting queries (checkpoint manifest,
+bucketed tables) stay cheap.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.test_plans import plan_of
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# the one intentional all-pairs operator (documented exactness baseline)
+CROSS_OK = {"ann_topk_bruteforce"}
+
+# 1-row broadcast scalar attach (corpus size N): the nested-loop join's
+# build side is a single aggregated row, so it is O(rows) at any scale —
+# the idiomatic way to attach a corpus constant without a driver collect.
+# Its global aggregate also legitimately ends in a SinglePartition exchange:
+# map-side partial aggregation means one pre-aggregated row per task flows
+# through it, never the data.
+SCALAR_NLJ_OK = {"tfidf_topk"}
+
+# queries whose semantics require a Python stage (tolerant XML parser,
+# model taggers, fake multimodal codec) — Arrow-batched is still enforced
+ARROW_OK = {
+    "casen_parse_markup",
+    "casen_undefined_filter",
+    "casen_corpus_markup",
+    "multimodal_decode",
+    "kg_flagship_triples",
+}
+
+
+def _registry():
+    import __spark_entry__ as entry
+
+    return entry.queries()
+
+
+@pytest.mark.parametrize("name", sorted(_registry()))
+def test_query_plan_has_no_antipatterns(spark, name):
+    fn = _registry()[name]
+    df = fn(spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    if name not in CROSS_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        if name not in SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in ARROW_OK:
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+            f"{name}: unexpected Python stage"
+        )
+    if name not in SCALAR_NLJ_OK:
+        assert "Exchange SinglePartition" not in plan, (
+            f"{name}: single-reducer exchange"
+        )
