@@ -89,3 +89,26 @@ def test_windowed_counts_and_consensus_sink(spark, gazetteer, patterns, doc_chun
     assert result.count() > 0
     methods = {r["method"] for r in result.select("method").distinct().collect()}
     assert any("_" in m for m in methods)  # fusion happened inside batches
+
+def test_dedup_stream_drops_redeliveries(spark, doc_chunks, tmp_path):
+    """Redelivered doc ids (chunk written twice) surface exactly once."""
+    d, docs = doc_chunks
+    redelivery = tmp_path / "redelivered_in"
+    half = docs.filter(F.xxhash64("doc_id") % 2 == 0)
+    half.coalesce(1).write.parquet(str(redelivery / "chunk=first"))
+    half.coalesce(1).write.parquet(str(redelivery / "chunk=retry"))
+
+    stream = ST.stream_docs(spark, f"{redelivery}/*", max_files=1)
+    q = (
+        ST.dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("dedup_stream_t")
+    n_unique = half.select("doc_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("doc_id").distinct().count() == n_unique
