@@ -823,3 +823,4 @@ from . import queries_timeseries  # noqa: E402,F401
 from . import queries_textmine  # noqa: E402,F401
 from . import queries_analytic  # noqa: E402,F401
 from . import queries_spans  # noqa: E402,F401
+from . import queries_relops  # noqa: E402,F401
