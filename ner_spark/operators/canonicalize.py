@@ -104,6 +104,53 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     return comp.unionByName(roots).distinct()
 
 
+def incremental_components(
+    prev: DataFrame, new_edges: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Delta-update connected components: fold a batch of NEW edges into an
+    existing ``(node, component)`` assignment without re-walking the
+    historical edge set.
+
+    This is the 100 TB canonicalization recipe: a daily alias-graph delta is
+    tiny next to the accumulated graph, so re-running CC over everything is
+    O(history) per day. Instead: (1) contract each endpoint of a delta edge
+    through the previous assignment (old node -> its component
+    representative, unseen node -> itself); (2) run CC on the contracted
+    delta graph only; (3) compose labels back (an untouched component keeps
+    its label; merged components take the min representative). Cost is
+    O(|delta| + |assignment|), independent of historical edge count.
+
+    Correct because contraction preserves connectivity: every old component
+    is already connected, so the union graph's components are exactly the
+    components of the contracted delta graph expanded by membership — and
+    labels stay "min member id" since min(A ∪ B) = min(min A, min B).
+    """
+    msrc = prev.select(F.col("node").alias("src"), F.col("component").alias("_csrc"))
+    mdst = prev.select(F.col("node").alias("dst"), F.col("component").alias("_cdst"))
+    contracted = (
+        new_edges.join(msrc, "src", "left")
+        .join(mdst, "dst", "left")
+        .select(
+            F.coalesce("_csrc", "src").alias("src"),
+            F.coalesce("_cdst", "dst").alias("dst"),
+        )
+    )
+    delta_cc = connected_components(contracted, max_iter=max_iter)
+    relabel = delta_cc.select(
+        F.col("node").alias("_rep"), F.col("component").alias("_newc")
+    )
+    old = (
+        prev.join(relabel, prev.component == F.col("_rep"), "left")
+        .select("node", F.coalesce("_newc", "component").alias("component"))
+    )
+    # delta_cc nodes are either old representatives (every rep has its own
+    # row in prev) or brand-new nodes; the anti-join keeps only the latter
+    brand_new = delta_cc.join(
+        prev.select("node"), "node", "left_anti"
+    ).select("node", "component")
+    return old.unionByName(brand_new)
+
+
 def salted_self_join(
     df: DataFrame, key: str, n_salt: int = 16, payload_cols: list[str] | None = None
 ) -> DataFrame:

@@ -362,6 +362,76 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental connected components (delta canonicalization)
+# ---------------------------------------------------------------------------
+
+_INC_SQL = """
+WITH RECURSIVE b AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND len(string_split_regex(trim(text), '\\s+')) >= 2
+),
+bg AS (
+  SELECT z[1] AS u, z[2] AS v
+  FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:])) AS z FROM b)
+),
+e AS (
+  SELECT DISTINCT u, v FROM bg
+  WHERE substr(u, 1, 1) = substr(v, 1, 1) AND u <> v
+),
+sym AS (SELECT u AS src, v AS dst FROM e UNION SELECT v, u FROM e),
+reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
+@query("kg_incremental_canonical", _INC_SQL)
+def kg_incremental_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-update canonicalization: CC over the even-doc half of the
+    letter-blocked word-bigram graph, then ``incremental_components`` folds
+    the odd-doc delta in WITHOUT re-walking the old edges. The oracle
+    recomputes components over the FULL union graph (recursive-CTE
+    min-reachable) — so a green hash proves incremental == full recompute."""
+    from .operators.canonicalize import connected_components, incremental_components
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", toks.alias("__toks")).filter(F.size("__toks") >= 2)
+    bigrams = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(__toks, 1, size(__toks)-1),"
+                    " (x, i) -> struct(x AS u, __toks[i+1] AS v))"
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "e.u", "e.v")
+        .filter(
+            (F.substring("u", 1, 1) == F.substring("v", 1, 1))
+            & (F.col("u") != F.col("v"))
+        )
+    )
+    old_edges = (
+        bigrams.filter((F.col("doc_id") % 2) == 0)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+    )
+    delta_edges = (
+        bigrams.filter((F.col("doc_id") % 2) == 1)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+    )
+    prev = connected_components(old_edges)
+    return incremental_components(prev, delta_edges)
+
+
+# ---------------------------------------------------------------------------
 # bounded-hop BFS over the word-bigram graph
 # ---------------------------------------------------------------------------
 

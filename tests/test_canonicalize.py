@@ -88,3 +88,50 @@ def test_salted_self_join_covers_all_pairs(spark):
             for j in range(i + 1, n):
                 want.add((k, *sorted([vals[i], vals[j]])))
     assert got == want
+
+
+def _run_incremental(spark, old_edges, delta_edges):
+    from ner_spark.operators.canonicalize import incremental_components
+
+    prev = connected_components(spark.createDataFrame(old_edges, ["src", "dst"]))
+    delta = spark.createDataFrame(delta_edges, "src string, dst string")
+    return {
+        r["node"]: r["component"]
+        for r in incremental_components(prev, delta).collect()
+    }
+
+
+def test_incremental_merges_old_components_via_new_chain(spark):
+    old = [("b", "a"), ("d", "c"), ("y", "x")]  # components {a,b} {c,d} {x,y}
+    # new node chain n1-n2 bridges components a* and c*; x* untouched;
+    # plus a brand-new isolated pair (p, q)
+    delta = [("b", "n1"), ("n1", "n2"), ("n2", "d"), ("q", "p")]
+    got = _run_incremental(spark, old, delta)
+    want = _cc_oracle(old + delta)
+    assert got == want
+    assert got["d"] == "a" and got["y"] == "x" and got["q"] == "p"
+
+
+def test_incremental_empty_delta_is_identity(spark):
+    old = [("b", "a"), ("d", "c")]
+    got = _run_incremental(spark, old, [])
+    assert got == _cc_oracle(old)
+
+
+def test_incremental_matches_full_recompute_on_random_graph(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    old = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(30)
+    ]
+    old = [(a, b) for a, b in old if a != b]
+    new_nodes = [f"m{i:02d}" for i in range(10)]
+    delta = [
+        (rng.choice(nodes + new_nodes), rng.choice(nodes + new_nodes))
+        for _ in range(20)
+    ]
+    delta = [(a, b) for a, b in delta if a != b]
+    got = _run_incremental(spark, old, delta)
+    want = _cc_oracle(old + delta)
+    # incremental covers every node of the union graph exactly once
+    assert got == want
