@@ -197,3 +197,139 @@ def sample_stratified(spark, sf_dir):
         )
         .filter(F.col("bucket") < rate)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_spans: positional repeated-substring detection (the exact
+# substring-dedup primitive from "Deduplicating Training Data Makes Language
+# Models Better", Lee et al. 2022 — here as K-token shingle posting lists
+# with positions instead of a distributed suffix array). Each row of the
+# output is one K-gram that recurs in >= 2 documents, with its first
+# occurrence pinned. Scale: per-row bounded HOF builds the shingles (never
+# downstream of an aggregation), grouping is on the 60-bit md5 shingle key
+# (map-side partial agg; hot boilerplate shingles combine before the
+# shuffle), and the first-occurrence min folds (doc_id, pos) into ONE
+# bigint so the aggregate stays a plain partial-aggregatable min.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 12
+
+_SUBSTRING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT doc_id, p,
+         ('0x' || substr(md5(array_to_string(toks[p:p+{_SPAN_K - 1}], ' ')), 1, 15))::BIGINT
+           AS sh_hash
+  FROM t, unnest(generate_series(1, len(toks) - {_SPAN_K - 1})) AS u(p)
+  WHERE len(toks) >= {_SPAN_K}
+)
+SELECT sh_hash,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id * 1000000 + p) // 1000000 AS BIGINT) AS first_doc_id,
+       CAST(min(doc_id * 1000000 + p) % 1000000 AS INT) AS first_pos
+FROM s GROUP BY sh_hash HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+@query("dedup_substring_spans", _SUBSTRING_SQL)
+def dedup_substring_spans(spark, sf_dir):
+    """K-token substrings recurring across >= 2 documents, with the first
+    (doc, pos) occurrence — the positional primitive behind exact substring
+    dedup of training corpora."""
+    K = _SPAN_K
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= K)  # sequence(1, n<1) would count DOWN in Spark
+    shingles = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {K - 1}),"
+                f" p -> struct(p AS pos,"
+                f" conv(substring(md5(array_join(slice(toks, p, {K}), ' ')), 1, 15),"
+                f" 16, 10) AS h))"
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.pos").alias("p"),
+        F.col("s.h").cast("long").alias("sh_hash"),
+    )
+    key = F.col("doc_id") * 1000000 + F.col("p")
+    return (
+        shingles.groupBy("sh_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(key).alias("_first"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "sh_hash",
+            "n_occ",
+            "n_docs",
+            (F.col("_first") / 1000000).cast("long").alias("first_doc_id"),
+            (F.col("_first") % 1000000).cast("int").alias("first_pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mix_temperature_weights: temperature-based domain mixing (alpha = 0.75).
+# Per-source sampling weights w_i = n_i^alpha flatten the source
+# distribution; a 1M-token budget allocates per-source targets. Exactness
+# across engines: alpha = 3/4 is computed as sqrt(n * sqrt(n)) — IEEE sqrt
+# is correctly rounded, so the double is bit-identical in Spark and DuckDB
+# (a libm pow(n, 0.75) would not be); weights are then floored to integer
+# micro-units so the total and the targets are exact BIGINT arithmetic.
+# The 1-row totals attach is a broadcast scalar join (O(rows) at any
+# scale), the same pattern as tfidf_topk.
+# ---------------------------------------------------------------------------
+
+_MIX_SQL = """
+WITH n AS (
+  SELECT source,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+),
+w AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(n_tokens * sqrt(n_tokens)) * 1000000) AS BIGINT) AS w_micro
+  FROM n
+),
+tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS t FROM w)
+SELECT source, n_tokens, w_micro,
+       CAST(floor((CAST(w_micro AS DOUBLE) / t) * 1000000) AS BIGINT) AS target_tokens
+FROM w, tot
+"""
+
+
+@query("mix_temperature_weights", _MIX_SQL)
+def mix_temperature_weights(spark, sf_dir):
+    """Per-source temperature-sampling weights (alpha = 0.75) and exact
+    integer token targets out of a 1M-token budget."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    nt = F.col("n_tokens").cast("double")
+    w = n.withColumn(
+        "w_micro",
+        F.floor(F.sqrt(nt * F.sqrt(nt)) * F.lit(1000000.0)).cast("long"),
+    )
+    tot = w.agg(F.sum("w_micro").cast("long").alias("t"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "w_micro",
+        F.floor((F.col("w_micro").cast("double") / F.col("t")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("target_tokens"),
+    )

@@ -115,3 +115,55 @@ def test_stratified_sample_replays_md5_decision(spark):
     assert sum(1 for i, t in rows if len(t) >= 380) == sum(
         1 for _, s, _ in got if s == "long"
     )
+
+
+def test_substring_spans_match_bruteforce(spark):
+    from ner_spark.queries_corpus import _SPAN_K, dedup_substring_spans
+
+    sf = "/root/testdata/sf0.001"
+    docs = [(r["doc_id"], r["text"]) for r in
+            spark.read.parquet(f"{sf}/documents.parquet").collect()
+            if r["text"] is not None]
+    occ = {}
+    for doc_id, text in docs:
+        toks = text.strip().split()
+        for p in range(len(toks) - _SPAN_K + 1):
+            occ.setdefault(" ".join(toks[p:p + _SPAN_K]), []).append(
+                (doc_id, p + 1)
+            )
+    want = {
+        sh: (len(v), len({d for d, _ in v}), min(v))
+        for sh, v in occ.items() if len({d for d, _ in v}) >= 2
+    }
+    got = dedup_substring_spans(spark, sf).collect()
+    assert len(got) == len(want)
+    by_first = {(r["first_doc_id"], r["first_pos"]): (r["n_occ"], r["n_docs"])
+                for r in got}
+    for sh, (n_occ, n_docs, first) in want.items():
+        assert by_first[first] == (n_occ, n_docs), sh
+
+
+def test_mix_temperature_weights_math(spark):
+    from ner_spark.queries_corpus import mix_temperature_weights
+    import math
+
+    sf = "/root/testdata/sf0.001"
+    rows = mix_temperature_weights(spark, sf).collect()
+    assert rows
+    total_micro = sum(r["w_micro"] for r in rows)
+    for r in rows:
+        n = float(r["n_tokens"])
+        # alpha = 0.75 via two correctly-rounded sqrts
+        w = math.sqrt(n * math.sqrt(n))
+        assert r["w_micro"] == math.floor(w * 1_000_000)
+        assert r["target_tokens"] == math.floor(
+            (r["w_micro"] / total_micro) * 1_000_000
+        )
+    # floor allocation never exceeds the budget
+    assert sum(r["target_tokens"] for r in rows) <= 1_000_000
+    # temperature flattening: a source with more tokens gets a LOWER
+    # sampling multiple (target/n) than a smaller source
+    rs = sorted(rows, key=lambda r: r["n_tokens"])
+    if rs[0]["n_tokens"] < rs[-1]["n_tokens"]:
+        assert (rs[0]["target_tokens"] / rs[0]["n_tokens"]
+                > rs[-1]["target_tokens"] / rs[-1]["n_tokens"])
