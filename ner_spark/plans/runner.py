@@ -124,13 +124,18 @@ class Runner:
                 out.withColumn(BUCKET_COL, F.lit(0)), name, fingerprint, stage=name
             )
         result_df = self.catalog.read(self.spark, name).drop(BUCKET_COL)
+        rows_written = sum(
+            r["rows"]
+            for r in self.catalog.manifest_rows(name)
+            if r["fingerprint"] == fingerprint
+        )
         self.metrics.append(
             StageResult(
                 table=name,
                 fingerprint=fingerprint,
                 skipped_buckets=1 if done else 0,
                 computed_buckets=0 if done else 1,
-                rows=0,
+                rows=rows_written,
                 wall_ms=int((time.time() - t0) * 1000),
             )
         )
