@@ -61,11 +61,14 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     neighborhood combines map-side. ``localCheckpoint`` each round truncates
     the exponentially-growing lineage.
     """
+    # lazy checkpoints throughout: the _edge_stats collect that follows each
+    # checkpoint materializes it, so every round costs ONE job instead of
+    # two (an eager checkpoint + a stats pass over the stored blocks)
     e = (
         _symmetrize(edges)
         .select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_edges, chk = _edge_stats(e)
     for _ in range(max_iter):
@@ -89,7 +92,7 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
             .filter(F.col("src") != F.col("dst"))
         )
         part2 = mins2.select("src", F.col("m").alias("dst"))
-        e_new = part1.unionByName(part2).distinct().localCheckpoint(eager=True)
+        e_new = part1.unionByName(part2).distinct().localCheckpoint(eager=False)
         n_new, chk_new = _edge_stats(e_new)
         if n_new == n_edges and chk_new == chk:
             e = e_new
