@@ -178,3 +178,65 @@ def events_funnel(spark, sf_dir):
         .cast("long")
         .alias("funnel_stage"),
     )
+
+
+@query(
+    "events_json_extract",
+    """
+    SELECT event_id, event_type,
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS INT)
+           END AS k_val,
+           CAST(json_valid(props) AND json_extract_string(props, '$.k') IS NOT NULL
+                AS BOOLEAN) AS is_valid
+    FROM events
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    """Semi-structured extraction from the JSON props column.
+    ``get_json_object`` runs JVM-side inside codegen; malformed or
+    key-missing payloads degrade to NULL + is_valid=false instead of
+    failing the job (the quarantine split is then a plain filter)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        "event_type",
+        k.cast("int").alias("k_val"),
+        k.isNotNull().alias("is_valid"),
+    )
+
+
+@query(
+    "events_forward_fill",
+    """
+    SELECT event_id, user_id, ts,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type <> 'error' THEN value END AS v
+      FROM events
+    )
+    """,
+)
+def events_forward_fill(spark, sf_dir):
+    """Per-key forward fill (carry last observation forward): error events
+    contribute no reading, so their value fills from the user's previous
+    non-error event. Window is partitioned by the natural key with a
+    deterministic (ts, event_id) order — never a global sort."""
+    e = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(v, ignorenulls=True).over(w).alias("filled_value"),
+    )

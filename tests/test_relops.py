@@ -137,3 +137,45 @@ def test_khop_matches_python_bfs(spark):
             dist[v] = d
         frontier = nxt
     assert got == dist
+
+
+def test_json_extract_malformed_degrade(spark):
+    from ner_spark.queries_relops import _EVENT_TYPES  # noqa: F401  (module import sanity)
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, '{"k": 5}'),
+        (2, "not json"),
+        (3, '{"other": 1}'),
+        (4, None),
+        (5, '{"k": "7"}'),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, props string")
+    k = F.get_json_object("props", "$.k")
+    got = {
+        r["event_id"]: (r["k"], r["valid"])
+        for r in df.select(
+            "event_id", k.cast("int").alias("k"), k.isNotNull().alias("valid")
+        ).collect()
+    }
+    assert got == {1: (5, True), 2: (None, False), 3: (None, False),
+                   4: (None, False), 5: (7, True)}
+
+
+def test_forward_fill_matches_bruteforce(spark):
+    from ner_spark.queries_timeseries import events_forward_fill
+
+    sf = "/root/testdata/sf0.001"
+    ev = sorted(
+        (r["user_id"], r["ts"], r["event_id"], r["event_type"], r["value"])
+        for r in spark.read.parquet(f"{sf}/events.parquet").collect()
+    )
+    expect = {}
+    last = {}
+    for u, ts, e, typ, v in ev:
+        if typ != "error" and v is not None:
+            last[u] = v
+        expect[e] = last.get(u)
+    got = {r["event_id"]: r["filled_value"]
+           for r in events_forward_fill(spark, sf).collect()}
+    assert got == expect
