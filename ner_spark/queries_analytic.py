@@ -367,3 +367,78 @@ def tpch_bucketed_join(spark, sf_dir):
             .alias("total_price"),
         )
     )
+
+
+@query(
+    "user_state_history",
+    """
+    SELECT event_id, user_id, event_type AS state, ts AS effective_from,
+           lead(ts) OVER w AS effective_to,
+           CAST(lead(ts) OVER w IS NULL AS BOOLEAN) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def user_state_history(spark, sf_dir):
+    """SCD2-style state history: each event opens a validity interval that
+    the user's next event closes (lead window, natural-key partitioning);
+    the open interval is flagged current."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("effective_from"),
+        nxt.alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "lineitem_quantile_buckets",
+    """
+    WITH th AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+             round(quantile_cont(l_quantity, 0.95), 4) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CASE WHEN l.l_quantity <= th.p50 THEN 'low'
+                WHEN l.l_quantity <= th.p95 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_qty
+    FROM lineitem l JOIN th ON l.l_returnflag = th.l_returnflag
+    GROUP BY 1, 2
+    """,
+)
+def lineitem_quantile_buckets(spark, sf_dir):
+    """Quantile binning WITHOUT a global sort: per-group exact thresholds
+    (tiny aggregate) broadcast back onto the fact rows, then a plain
+    aggregation — the two-phase alternative to an ntile window, which
+    would funnel every row through one reducer per group. Thresholds are
+    rounded on both sides so the bucket predicate is engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    th = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95"),
+    )
+    bucket = (
+        F.when(F.col("l_quantity") <= F.col("p50"), "low")
+        .when(F.col("l_quantity") <= F.col("p95"), "mid")
+        .otherwise("high")
+    )
+    return (
+        li.join(F.broadcast(th), "l_returnflag")
+        .select("l_returnflag", bucket.alias("bucket"), "l_quantity")
+        .groupBy("l_returnflag", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )

@@ -158,3 +158,48 @@ def test_ivf_vector_side_never_shuffles(spark):
     # exchanges: the query-side window + broadcast distribution + the
     # final per-query ranking window — never a hash repartition on cell
     assert "hashpartitioning(cell" not in plan, plan
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """The north_rule names AQE skew-join splitting as the guard for
+    residual skew on the linking join. Prove the session config actually
+    engages it: a sort-merge join with one hot key gets its oversized
+    partition split at runtime (``skew=true`` in the final adaptive plan).
+    Thresholds are lowered so local-scale data exhibits 100 TB-class skew;
+    they are restored afterwards."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        hot = spark.range(120000).select(
+            F.lit("hot").alias("k"), F.lpad(F.col("id").cast("string"), 200, "x").alias("pay")
+        )
+        cold = spark.range(3000).select(
+            F.concat(F.lit("c"), (F.col("id") % 300).cast("string")).alias("k"),
+            F.lit("y").alias("pay"),
+        )
+        left = hot.unionByName(cold)
+        right = spark.createDataFrame(
+            [("hot", 1000)] + [(f"c{i}", i) for i in range(300)],
+            "k string, attr int",
+        )
+        out = left.join(right, "k").groupBy("attr").count()
+        assert len(out.collect()) == 301  # collect() drives THIS plan's
+        # QueryExecution (a write clones it, leaving isFinalPlan=false here)
+        final_plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
