@@ -879,3 +879,117 @@ def kg_checkpoint_manifest(spark, sf_dir):
         for r in runner.catalog.manifest_rows(t)
     ]
     return spark.createDataFrame(rows, ["stage", "bucket", "n_rows"])
+
+
+# ---------------------------------------------------------------------------
+# S5b: context-coherence disambiguation. An ambiguous alias ("spark" the
+# engine vs "spark" the person) is resolved by which candidate's profile
+# keywords co-occur in the document. Architecture: tokenize once, equi-join
+# doc tokens against the broadcast (keyword -> entity) inverted index, and
+# count distinct keyword hits per (doc, entity) — never a cartesian
+# "contains" scan; the skewed token key hits a map-side-combinable count.
+# ---------------------------------------------------------------------------
+
+_CTX_GAZ = [
+    # (entity_id, alias, profile keywords drawn from the corpus vocabulary)
+    ("E_spark_engine", "spark", ("query", "join", "scan", "table", "filter")),
+    ("E_spark_person", "spark", ("customer", "line", "order", "small", "slow")),
+    ("E_stream_tech", "stream", ("window", "batch", "sort", "merge", "hash")),
+    ("E_stream_river", "stream", ("big", "fast", "data", "row", "part")),
+]
+
+_CTX_ALIAS_SQL = ", ".join(
+    f"('{e}', '{a}')" for e, a, _ in _CTX_GAZ
+)
+_CTX_KW_SQL = ", ".join(
+    f"('{e}', '{k}')" for e, _, kws in _CTX_GAZ for k in kws
+)
+
+
+@query(
+    "kg_context_disambiguation",
+    f"""
+    WITH aliases(entity_id, alias) AS (VALUES {_CTX_ALIAS_SQL}),
+    kw(entity_id, kw) AS (VALUES {_CTX_KW_SQL}),
+    tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    mention AS (
+      SELECT t.doc_id, a.alias, a.entity_id
+      FROM tok t JOIN aliases a ON t.t = a.alias
+    ),
+    hits AS (
+      SELECT t.doc_id, k.entity_id, count(DISTINCT k.kw) AS ctx_score
+      FROM tok t JOIN kw k ON t.t = k.kw
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT m.doc_id, m.alias, m.entity_id,
+             CAST(coalesce(h.ctx_score, 0) AS BIGINT) AS ctx_score
+      FROM mention m LEFT JOIN hits h
+        ON m.doc_id = h.doc_id AND m.entity_id = h.entity_id
+    )
+    SELECT doc_id, alias, entity_id, ctx_score
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id, alias
+      ORDER BY ctx_score DESC, entity_id ASC
+    ) = 1
+    """,
+)
+def kg_context_disambiguation(spark, sf_dir):
+    """Coherence-based linking for ambiguous aliases: the winning candidate
+    is the one whose profile keywords co-occur most in the document
+    (north_star: "entity linking scores mentions against an alias
+    dictionary ... with blocking on normalized surface forms" — here the
+    score is contextual, not a static prior)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"),
+    ).distinct()
+    aliases = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(e, a) for e, a, _ in _CTX_GAZ], "entity_id string, alias string"
+        )
+    )
+    kw = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(e, k) for e, _, kws in _CTX_GAZ for k in kws],
+            "entity_id string, kw string",
+        )
+    )
+    mention = tok.join(aliases, tok["t"] == aliases["alias"]).select(
+        "doc_id", "alias", "entity_id"
+    )
+    hits = (
+        tok.join(kw, tok["t"] == kw["kw"])
+        .groupBy("doc_id", "entity_id")
+        .agg(F.countDistinct("kw").alias("ctx_score"))
+    )
+    scored = mention.join(hits, ["doc_id", "entity_id"], "left").select(
+        "doc_id",
+        "alias",
+        "entity_id",
+        F.coalesce("ctx_score", F.lit(0)).cast("long").alias("ctx_score"),
+    )
+    # best candidate per (doc, alias): an aggregation, not a window over
+    # the (skewed) alias key alone — the doc_id in the group key keeps the
+    # hot alias spread across partitions
+    best = F.min(
+        F.struct(
+            (-F.col("ctx_score")).alias("neg"), F.col("entity_id").alias("e"),
+            F.col("ctx_score").alias("s"),
+        )
+    ).alias("_b")
+    return (
+        scored.groupBy("doc_id", "alias")
+        .agg(best)
+        .select(
+            "doc_id",
+            "alias",
+            F.col("_b.e").alias("entity_id"),
+            F.col("_b.s").alias("ctx_score"),
+        )
+    )

@@ -112,3 +112,30 @@ def test_ambiguous_alias_bridges_entities(spark):
     canon = {r["entity_id"]: r["canonical_id"] for r in canonical_entities(linked).collect()}
     # both entities share surface node surf:paris -> one component
     assert canon["E_loc"] == canon["E_per"]
+
+
+def test_context_disambiguation_matches_bruteforce(spark):
+    from ner_spark.queries_kg import _CTX_GAZ, kg_context_disambiguation
+
+    sf = "/root/testdata/sf0.001"
+    docs = [(r["doc_id"], r["text"]) for r in
+            spark.read.parquet(f"{sf}/documents.parquet").collect()
+            if r["text"] is not None]
+    got = {(r["doc_id"], r["alias"]): (r["entity_id"], r["ctx_score"])
+           for r in kg_context_disambiguation(spark, sf).collect()}
+    checked = 0
+    for doc_id, text in docs:
+        toks = set(text.strip().lower().split())
+        for alias in {a for _, a, _ in _CTX_GAZ}:
+            cands = [(e, kws) for e, a, kws in _CTX_GAZ if a == alias]
+            if alias not in toks:
+                assert all((doc_id, alias) != k for k in got if k[0] == doc_id
+                           and k[1] == alias)
+                continue
+            scored = sorted(
+                ((-len(toks & set(kws)), e) for e, kws in cands)
+            )
+            neg, e = scored[0]
+            assert got[(doc_id, alias)] == (e, -neg), (doc_id, alias)
+            checked += 1
+    assert checked > 0
