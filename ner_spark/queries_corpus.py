@@ -333,3 +333,53 @@ def mix_temperature_weights(spark, sf_dir):
         .cast("long")
         .alias("target_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_lm_surprisal: unigram-LM perplexity-proxy scoring (the CCNet-style
+# "perplexity filter" for training corpora, reduced to a unigram LM that an
+# SQL oracle can replay). score(doc) = mean over tokens of ln(total/freq) —
+# high = improbable token mix. Scale: the LM "training" is one map-side-
+# combinable count aggregate; scoring joins the broadcast frequency table
+# and attaches the 1-row total with a broadcast scalar join (same pattern
+# as tfidf_topk / mix_temperature_weights). ln on both engines sees the
+# IDENTICAL double (one exact-rounded division first), so the 4dp-rounded
+# mean is engine-stable.
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq)
+SELECT k.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(tot.n / f.c)), 4) AS surprisal
+FROM tok k JOIN freq f ON k.t = f.t, tot
+GROUP BY k.doc_id
+"""
+
+
+@query("doc_lm_surprisal", _SURPRISAL_SQL)
+def doc_lm_surprisal(spark, sf_dir):
+    """Unigram-LM surprisal per document (perplexity-proxy quality filter):
+    mean negative log-probability of the document's tokens under the
+    corpus unigram distribution."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"),
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        tok.join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n") / F.col("c"))), 4).alias("surprisal"),
+        )
+    )

@@ -167,3 +167,32 @@ def test_mix_temperature_weights_math(spark):
     if rs[0]["n_tokens"] < rs[-1]["n_tokens"]:
         assert (rs[0]["target_tokens"] / rs[0]["n_tokens"]
                 > rs[-1]["target_tokens"] / rs[-1]["n_tokens"])
+
+
+def test_lm_surprisal_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from ner_spark.queries_corpus import doc_lm_surprisal
+
+    sf = "/root/testdata/sf0.001"
+    docs = [(r["doc_id"], r["text"]) for r in
+            spark.read.parquet(f"{sf}/documents.parquet").collect()
+            if r["text"] is not None]
+    freq = Counter(t for _, x in docs for t in x.strip().lower().split())
+    total = float(sum(freq.values()))
+    got = {r["doc_id"]: (r["n_tokens"], r["surprisal"])
+           for r in doc_lm_surprisal(spark, sf).collect()}
+    assert len(got) == len(docs)
+    for doc_id, text in docs:
+        toks = text.strip().lower().split()
+        want = round(sum(math.log(total / freq[t]) for t in toks) / len(toks), 4)
+        n, s = got[doc_id]
+        assert n == len(toks)
+        assert abs(s - want) <= 1e-4, (doc_id, s, want)
+    # rare-token docs score strictly higher than common-token docs
+    common = [t for t, _ in freq.most_common(3)]
+    rare = [t for t, c in freq.items() if c == min(freq.values())][:3]
+    avg_c = sum(math.log(total / freq[t]) for t in common) / len(common)
+    avg_r = sum(math.log(total / freq[t]) for t in rare) / len(rare)
+    assert avg_r > avg_c

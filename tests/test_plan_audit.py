@@ -33,7 +33,7 @@ CROSS_OK = {"ann_topk_bruteforce"}
 # Its global aggregate also legitimately ends in a SinglePartition exchange:
 # map-side partial aggregation means one pre-aggregated row per task flows
 # through it, never the data.
-SCALAR_NLJ_OK = {"tfidf_topk", "mix_temperature_weights"}
+SCALAR_NLJ_OK = {"tfidf_topk", "mix_temperature_weights", "doc_lm_surprisal"}
 
 # queries whose semantics require a Python stage (tolerant XML parser,
 # model taggers, fake multimodal codec) — Arrow-batched is still enforced
