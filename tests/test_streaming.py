@@ -112,3 +112,41 @@ def test_dedup_stream_drops_redeliveries(spark, doc_chunks, tmp_path):
     n_unique = half.select("doc_id").distinct().count()
     assert got.count() == n_unique
     assert got.select("doc_id").distinct().count() == n_unique
+
+
+def test_incremental_ingest_processes_only_new_files(spark, tmp_path):
+    """Scheduled incremental batch (trigger=availableNow + checkpoint): a
+    re-run after new files land processes ONLY the new files — the pattern
+    for periodic 100 TB ingestion without reprocessing history."""
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ck"
+    docs = synth.synth_docs(spark, 100, seed=7).withColumn(
+        "event_ts", F.timestamp_seconds(F.lit(1_700_000_000))
+    )
+    a = docs.filter(F.xxhash64("doc_id") % 2 == 0)
+    b = docs.filter(F.xxhash64("doc_id") % 2 != 0)
+    a.coalesce(1).write.parquet(str(src / "chunk=a"))
+
+    def run_once():
+        q = (
+            ST.stream_docs(spark, f"{src}/*", max_files=1)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    got1 = spark.read.parquet(str(out))
+    assert got1.count() == a.count()
+
+    b.coalesce(1).write.parquet(str(src / "chunk=b"))
+    run_once()
+    got2 = spark.read.parquet(str(out))
+    # second run appended exactly the new chunk: no history reprocessing
+    assert got2.count() == docs.count()
+    ids = {r["doc_id"] for r in got2.select("doc_id").collect()}
+    assert ids == {r["doc_id"] for r in docs.select("doc_id").collect()}
