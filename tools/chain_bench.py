@@ -27,6 +27,8 @@ def main() -> int:
     p.add_argument("--cores", type=int, required=True)
     p.add_argument("--n-docs", type=int, default=1_200_000)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--shuffle-partitions", type=int, default=0,
+                   help="0 = same as --cores")
     p.add_argument("--jvm-only", action="store_true",
                    help="skip the pandas-UDF extraction (consensus fixture instead)")
     args = p.parse_args()
@@ -40,7 +42,8 @@ def main() -> int:
     from ner_spark.session import get_spark
 
     spark = get_spark(
-        "chain_bench", master=f"local[{args.cores}]", shuffle_partitions=args.cores
+        "chain_bench", master=f"local[{args.cores}]",
+        shuffle_partitions=args.shuffle_partitions or args.cores
     )
     gaz = synth.synth_gazetteer(spark)
     pat = synth.synth_patterns(spark)
