@@ -95,3 +95,36 @@ def test_triples_pr_gate(engine_out, oracle_out):
     recall = len(e & o) / len(o)
     assert precision >= 0.95 and recall >= 0.95, (precision, recall,
         list(e - o)[:5], list(o - e)[:5])
+
+
+@pytest.mark.parametrize("seed", [7, 123, 9001])
+def test_engine_equals_oracle_across_seeds(
+    spark, gazetteer, patterns, gaz_rows, pattern_rows, combos, seed
+):
+    """Differential fuzz: the one-shuffle Spark reformulation must equal
+    the reference-formulation pandas oracle on FRESH corpora, not just the
+    seed-42 fixture corpus (duplicates, empty docs, agreement mixes and
+    conflicts all re-randomize per seed)."""
+    from ner_spark import synth
+
+    docs = synth.synth_docs(spark, 150, seed=seed)
+    corr = synth.synth_corrections(spark, 150, seed=seed)
+    oracle = O.run(docs.toPandas(), gaz_rows, pattern_rows, combos, corr.toPandas())
+    engine = KGPipeline(
+        gazetteer=gazetteer,
+        patterns=patterns,
+        trusted_combos=combos,
+        corrections=corr,
+    ).run(docs)
+    got = _mention_set(engine["mentions"].toPandas())
+    want = _mention_set(oracle["mentions"])
+    assert got == want
+    gt = {
+        (r.subj, r.pred, r.obj, r.doc_uid)
+        for r in engine["triples"].toPandas().itertuples(index=False)
+    }
+    wt = {
+        (r.subj, r.pred, r.obj, r.doc_uid)
+        for r in oracle["triples"].itertuples(index=False)
+    }
+    assert gt == wt and len(gt) > 50

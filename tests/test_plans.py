@@ -203,3 +203,29 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_bucketed_catalog(spark, tmp_path):
+    """Joining a partition-keyed fact against a filtered dim must prune
+    fact partitions at RUNTIME (dynamic partition pruning) — at 100 TB the
+    difference between scanning 3 buckets and scanning all of them. The
+    catalog's tables are partitioned by bucket, so DPP applies to every
+    bucket-keyed stage join."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(20000).select(
+        (F.col("id") % 16).cast("int").alias("bucket"),
+        F.col("id").alias("v"),
+    )
+    fact.write.partitionBy("bucket").mode("overwrite").parquet(
+        str(tmp_path / "fact")
+    )
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.range(16).select(
+        F.col("id").cast("int").alias("bucket"),
+        (F.col("id") % 4).alias("grp"),
+    )
+    out = f.join(dim.filter(F.col("grp") == 0), "bucket").groupBy("bucket").count()
+    plan = plan_of(out, "formatted")
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    assert len(out.collect()) == 4
