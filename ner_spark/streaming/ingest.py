@@ -87,20 +87,40 @@ def consensus_sink(
     checkpoint_dir: str,
 ):
     """foreachBatch: run the batch consensus operators on each micro-batch
-    and append to a parquet table — checkpointed, exactly-once per batch."""
+    and write to a batch_id-partitioned parquet table.
+
+    Exactly-once under replay: foreachBatch is at-least-once (a crash
+    between the parquet write and the checkpoint commit re-delivers the
+    batch), so a blind append would duplicate the batch's rows. Writing
+    each micro-batch into its own ``batch_id=<n>`` partition with DYNAMIC
+    partition overwrite makes the replay idempotent — the retried batch
+    replaces exactly its own partition and touches nothing else."""
+    return (
+        mentions.writeStream.foreachBatch(
+            consensus_batch_writer(combos, out_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def consensus_batch_writer(combos: list[list[str]], out_dir: str):
+    """The foreachBatch body, exposed for direct (replay) testing."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         fused = C.fuse_ranked(batch_df.drop("event_ts"))
         voted = C.promote_trusted(C.priority_vote(fused), combos)
-        voted.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+        (
+            voted.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
 
-    return (
-        mentions.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-    )
+    return process
 
 
 def dedup_stream(

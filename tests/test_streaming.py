@@ -150,3 +150,32 @@ def test_incremental_ingest_processes_only_new_files(spark, tmp_path):
     assert got2.count() == docs.count()
     ids = {r["doc_id"] for r in got2.select("doc_id").collect()}
     assert ids == {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+
+def test_consensus_sink_replay_is_idempotent(spark, gazetteer, patterns, tmp_path):
+    """foreachBatch is at-least-once: a crash between the parquet write and
+    the checkpoint commit re-delivers the batch. Replaying the SAME batch_id
+    must leave the sink byte-identical (dynamic overwrite of the batch's own
+    partition), never append duplicates."""
+    docs = synth.synth_docs(spark, 60, seed=11).withColumn(
+        "event_ts", F.timestamp_seconds(F.lit(1_700_000_000))
+    )
+    mentions = ST.stream_mentions(docs, gazetteer, patterns)
+    combos = [c["slots"] for c in synth.TRUSTED_COMBOS]
+    out = str(tmp_path / "sink")
+    writer = ST.consensus_batch_writer(combos, out)
+
+    writer(mentions, 0)
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    assert n1 > 0
+
+    writer(mentions, 0)  # simulated redelivery of the same micro-batch
+    second = spark.read.parquet(out)
+    assert second.count() == n1
+    # a genuinely NEW batch still lands alongside, untouched by the replay
+    writer(mentions.limit(0), 1)  # empty batch: no-op
+    writer(mentions, 2)
+    assert spark.read.parquet(out).count() == 2 * n1
+    assert {r["batch_id"] for r in
+            spark.read.parquet(out).select("batch_id").distinct().collect()} == {0, 2}
