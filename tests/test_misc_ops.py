@@ -193,3 +193,23 @@ def test_stanza_branch_probe_and_stub(spark, gazetteer):
         pytest.skip("stanza fr pipeline not installed in this container")
     real_rows = M.model_mentions(docs, gazetteer, method="stanza", use_model=True).collect()
     assert any(r["NE"] == "Marie Curie" for r in real_rows)  # pragma: no cover
+
+
+def test_csv_tolerant_quarantines_malformed_rows(spark, tmp_path):
+    from ner_spark.sources.csv_tolerant import read_csv_tolerant
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "doc_id,score,label\n"
+        "1,0.5,ok\n"
+        "not_an_int,0.7,bad_id\n"
+        "2,0.9,ok2\n"
+        "3,oops,bad_score\n"
+    )
+    clean, quarantine = read_csv_tolerant(
+        spark, str(p), "doc_id INT, score DOUBLE, label STRING"
+    )
+    got = sorted((r["doc_id"], r["score"], r["label"]) for r in clean.collect())
+    assert got == [(1, 0.5, "ok"), (2, 0.9, "ok2")]
+    bad = sorted(r["raw_line"] for r in quarantine.collect())
+    assert bad == ["3,oops,bad_score", "not_an_int,0.7,bad_id"]
