@@ -993,3 +993,81 @@ def kg_context_disambiguation(spark, sf_dir):
             F.col("_b.s").alias("ctx_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weak-supervision export: (context_left, mention, context_right, label)
+# training examples with a deterministic md5 train/dev/test split — the
+# bridge from the KG engine back into tagger training. Pure column
+# expressions (substring windows, G6's context technique) and a
+# partitioning-independent split, so the export is byte-identical at any
+# parallelism.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kg_training_examples",
+    f"""
+    WITH surf(NE, label) AS (VALUES {_LAB_SQL}),
+    lm AS (
+      SELECT d.doc_id, surf.NE, surf.label, d.text,
+             CAST(instr(d.text, surf.NE) AS BIGINT) AS pos
+      FROM documents d CROSS JOIN surf
+      WHERE instr(d.text, surf.NE) > 0
+    )
+    SELECT doc_id, NE, label,
+           substr(text, CAST(greatest(pos - 30, 1) AS INT),
+                  CAST(pos - greatest(pos - 30, 1) AS INT)) AS ctx_left,
+           substr(text, CAST(pos + length(NE) AS INT), 30) AS ctx_right,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || NE), 1, 15))::BIGINT % 10 < 8
+                THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || NE), 1, 15))::BIGINT % 10 = 8
+                THEN 'dev' ELSE 'test' END AS split
+    FROM lm
+    """,
+)
+def kg_training_examples(spark, sf_dir):
+    """Weak-supervision export: each labeled mention becomes a
+    (ctx_left, mention, ctx_right, label) training example with a
+    deterministic md5-hash 80/10/10 split (never DataFrame.randomSplit,
+    whose output depends on partitioning)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pairs = F.array(
+        *[
+            F.struct(F.lit(s).alias("NE"), F.lit(l).alias("label"))
+            for s, l in _LAB.items()
+        ]
+    )
+    lm = (
+        docs.select("doc_id", "text", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            "text",
+            F.col("p.NE").alias("NE"),
+            F.col("p.label").alias("label"),
+            F.expr("instr(text, p.NE)").cast("long").alias("pos"),
+        )
+        .filter(F.col("pos") > 0)
+    )
+    start = F.greatest(F.col("pos") - 30, F.lit(1))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("NE"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    return lm.select(
+        "doc_id",
+        "NE",
+        "label",
+        F.expr("substring(text, int(greatest(pos - 30, 1)),"
+               " int(pos - greatest(pos - 30, 1)))").alias("ctx_left"),
+        F.expr("substring(text, int(pos + length(NE)), 30)").alias("ctx_right"),
+        F.when(bucket < 8, "train").when(bucket == 8, "dev").otherwise("test").alias("split"),
+    )

@@ -213,3 +213,25 @@ def test_csv_tolerant_quarantines_malformed_rows(spark, tmp_path):
     assert got == [(1, 0.5, "ok"), (2, 0.9, "ok2")]
     bad = sorted(r["raw_line"] for r in quarantine.collect())
     assert bad == ["3,oops,bad_score", "not_an_int,0.7,bad_id"]
+
+
+def test_training_examples_contexts_and_split(spark):
+    from ner_spark.queries_kg import kg_training_examples
+
+    sf = "/root/testdata/sf0.001"
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{sf}/documents.parquet").collect()
+            if r["text"] is not None}
+    rows = kg_training_examples(spark, sf).collect()
+    assert rows
+    splits = {r["split"] for r in rows}
+    assert splits <= {"train", "dev", "test"} and "train" in splits
+    n_train = sum(1 for r in rows if r["split"] == "train")
+    assert 0.6 <= n_train / len(rows) <= 0.95  # md5 bucket ~80%
+    for r in rows[:200]:
+        text = docs[r["doc_id"]]
+        pos = text.index(r["NE"])  # first occurrence, 0-based
+        assert r["ctx_left"] == text[max(pos - 30, 0):pos]
+        assert r["ctx_right"] == text[pos + len(r["NE"]):pos + len(r["NE"]) + 30]
+        # reconstruction: left + mention + right is a substring of the doc
+        assert (r["ctx_left"] + r["NE"] + r["ctx_right"]) in text
