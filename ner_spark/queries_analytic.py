@@ -442,3 +442,93 @@ def lineitem_quantile_buckets(spark, sf_dir):
             .alias("total_qty"),
         )
     )
+
+
+@query(
+    "kg_entity_profiles",
+    """
+    WITH b AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND len(string_split_regex(trim(text), '\\s+')) >= 2
+    ),
+    bg AS (
+      SELECT z[1] AS u, z[2] AS v
+      FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:])) AS z FROM b)
+    ),
+    sym AS (
+      SELECT u AS node, v AS nbr FROM bg WHERE u <> v
+      UNION ALL
+      SELECT v, u FROM bg WHERE u <> v
+    ),
+    w AS (SELECT node, nbr, count(*) AS weight FROM sym GROUP BY 1, 2)
+    SELECT node, nbr, CAST(weight AS BIGINT) AS weight,
+           CAST(row_number() OVER (
+             PARTITION BY node ORDER BY weight DESC, nbr
+           ) AS INT) AS rk
+    FROM w
+    QUALIFY rk <= 5
+    """,
+)
+def kg_entity_profiles(spark, sf_dir):
+    """Per-surface context profile: the top-5 adjacency neighbors in the
+    word-bigram graph (the feature table behind context disambiguation —
+    kg_context_disambiguation consumes exactly this shape). Window is
+    partitioned by the node, so a hot surface ranks inside its own
+    partition; the co-occurrence count is a map-side-combinable sum."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(toks.alias("__toks")).filter(F.size("__toks") >= 2)
+    bg = (
+        base.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(__toks, 1, size(__toks)-1),"
+                    " (x, i) -> struct(x AS u, __toks[i+1] AS v))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .filter(F.col("u") != F.col("v"))
+    )
+    sym = bg.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        bg.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    w = sym.groupBy("node", "nbr").agg(F.count(F.lit(1)).alias("weight"))
+    rk = F.row_number().over(
+        Window.partitionBy("node").orderBy(F.desc("weight"), "nbr")
+    )
+    return (
+        w.withColumn("rk", rk.cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("node", "nbr", F.col("weight").cast("long").alias("weight"), "rk")
+    )
+
+
+@query(
+    "events_window_uniques",
+    """
+    WITH per_user AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, user_id,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT win_start,
+           CAST(count(*) AS BIGINT) AS unique_users,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM per_user GROUP BY win_start
+    """,
+)
+def events_window_uniques(spark, sf_dir):
+    """Unique users per tumbling hour via TWO-PHASE aggregation
+    (groupBy(window, user) then count per window): both aggregates are
+    map-side combinable, unlike a direct count(DISTINCT user) whose
+    per-window distinct-set state concentrates on the window key — the
+    scale-safe exact-distinct recipe."""
+    e = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour").start.alias("win_start")
+    per_user = e.groupBy(win, "user_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_user.groupBy("win_start").agg(
+        F.count(F.lit(1)).cast("long").alias("unique_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )

@@ -79,3 +79,50 @@ def test_nation_top_parts_broadcasts_dims(spark):
     plan = plan_of(nation_top_parts(spark, "/root/testdata/sf0.001"), "simple")
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_entity_profiles_top5_matches_bruteforce(spark):
+    from collections import Counter
+
+    from ner_spark.queries_analytic import kg_entity_profiles
+
+    sf = "/root/testdata/sf0.001"
+    texts = [r["text"] for r in
+             spark.read.parquet(f"{sf}/documents.parquet").collect()
+             if r["text"] is not None]
+    co = Counter()
+    for t in texts:
+        ws = t.strip().split()
+        for a, b in zip(ws, ws[1:]):
+            if a != b:
+                co[(a, b)] += 1
+                co[(b, a)] += 1
+    want = {}
+    nodes = {a for a, _ in co}
+    for n in nodes:
+        nbrs = sorted(((-c, nbr) for (a, nbr), c in co.items() if a == n))[:5]
+        want[n] = [(nbr, -negc, i + 1) for i, (negc, nbr) in enumerate(nbrs)]
+    got = {}
+    for r in kg_entity_profiles(spark, sf).collect():
+        got.setdefault(r["node"], []).append((r["nbr"], r["weight"], r["rk"]))
+    for n in got:
+        got[n].sort(key=lambda x: x[2])
+    assert got == want
+
+
+def test_window_uniques_matches_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from ner_spark.queries_analytic import events_window_uniques
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    direct = {
+        r["w"]: r["u"]
+        for r in e.groupBy(F.window("ts", "1 hour").start.alias("w"))
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    got = {r["win_start"]: r["unique_users"]
+           for r in events_window_uniques(spark, sf).collect()}
+    assert got == direct
