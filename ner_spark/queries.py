@@ -824,3 +824,66 @@ from . import queries_textmine  # noqa: E402,F401
 from . import queries_analytic  # noqa: E402,F401
 from . import queries_spans  # noqa: E402,F401
 from . import queries_relops  # noqa: E402,F401
+
+
+_FAKE_DECODE_SQL = """
+    m AS (
+      SELECT printf('media://%08d', doc_id) AS ref,
+             printf('doc%08d', doc_id) AS doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS media_type
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    d AS (
+      SELECT ref AS media_ref, doc_id, media_type,
+             64 + (('0x' || substr(md5(ref), 1, 2))::INT % 192) AS width,
+             64 + (('0x' || substr(md5(ref), 3, 2))::INT % 192) AS height,
+             CASE WHEN media_type = 'image' THEN 1
+                  ELSE 1 + (('0x' || substr(md5(ref), 5, 2))::INT % 30) END
+               AS n_frames
+      FROM m
+    )
+"""
+
+
+@query(
+    "multimodal_resize_plan",
+    f"""
+    WITH {_FAKE_DECODE_SQL}
+    SELECT media_ref, doc_id,
+           CAST(round(width * least(224.0 / width, 224.0 / height, 1.0))
+                AS INT) AS target_w,
+           CAST(round(height * least(224.0 / width, 224.0 / height, 1.0))
+                AS INT) AS target_h
+    FROM d
+    """,
+)
+def multimodal_resize_plan(spark, sf_dir):
+    """Aspect-preserving resize planning over the decoded metadata — pure
+    column arithmetic downstream of the Arrow decode (the pixel work
+    belongs inside the decode UDF in production; the PLAN is what must be
+    deterministic and partition-parallel)."""
+    from .operators.multimodal import decode_media, media_from_ref_table, resize_spec
+
+    media = media_from_ref_table(_t(spark, sf_dir, "documents"))
+    return resize_spec(decode_media(media, fake=True), max_side=224)
+
+
+@query(
+    "multimodal_frame_plan",
+    f"""
+    WITH {_FAKE_DECODE_SQL}
+    SELECT media_ref, doc_id, CAST(u.f AS INT) AS frame_idx
+    FROM d, unnest(generate_series(0, n_frames - 1, 5)) AS u(f)
+    """,
+)
+def multimodal_frame_plan(spark, sf_dir):
+    """Frame-sampling plan (every 5th frame) as a JVM-side sequence explode
+    over the decoded frame counts — one row per frame to fetch, no Python
+    in the fan-out."""
+    from .operators.multimodal import decode_media, media_from_ref_table, sample_frames
+
+    media = media_from_ref_table(_t(spark, sf_dir, "documents"))
+    return sample_frames(decode_media(media, fake=True), every_n=5).select(
+        "media_ref", "doc_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
