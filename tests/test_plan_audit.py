@@ -42,6 +42,8 @@ ARROW_OK = {
     "casen_undefined_filter",
     "casen_corpus_markup",
     "multimodal_decode",
+    "multimodal_resize_plan",
+    "multimodal_frame_plan",
     "kg_flagship_triples",
 }
 
