@@ -72,18 +72,27 @@ def main() -> int:
     combos = [c["slots"] for c in synth.TRUSTED_COMBOS]
     pipe = KGPipeline(gazetteer=gaz, patterns=pat, trusted_combos=combos)
     docs = synth.synth_docs(spark, n_bench_docs, seed=42)
-    t0 = time.time()
-    cd = clean(docs).cache()
-    fused = C.fuse_ranked(pipe.ranked_mentions(cd))
-    voted = C.promote_trusted(C.priority_vote(fused), combos).cache()
-    # populate the caches eagerly: extract_triples fans out into three
-    # consumers of `voted`; against a cold cache each branch recomputes the
-    # whole extraction chain concurrently (measured 3x the chain cost)
-    voted.count()
-    _force(extract_triples(voted, cd))
-    kg_sec = time.time() - t0
-    cd.unpersist()
-    voted.unpersist()
+    def run_pipe() -> float:
+        t0 = time.time()
+        cd = clean(docs).cache()
+        fused = C.fuse_ranked(pipe.ranked_mentions(cd))
+        voted = C.promote_trusted(C.priority_vote(fused), combos).cache()
+        # populate the caches eagerly: extract_triples fans out into three
+        # consumers of `voted`; against a cold cache each branch recomputes
+        # the whole extraction chain concurrently (measured 3x the chain
+        # cost; eager also measured faster on interleaved repeats)
+        voted.count()
+        _force(extract_triples(voted, cd))
+        sec = time.time() - t0
+        cd.unpersist()
+        voted.unpersist()
+        return sec
+
+    # first run pays per-stage JIT + codegen + Python-worker module imports
+    # (fixed costs that vanish on a long-running cluster app); the second,
+    # same-JVM run is the steady-state throughput (measured ~5x apart)
+    kg_sec = run_pipe()
+    kg_sec_warm = run_pipe()
     timings["kg_pipeline_synth"] = round(kg_sec, 3)
 
     total = round(sum(timings.values()), 3)
@@ -96,6 +105,7 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "kg_docs_per_sec": round(n_bench_docs / kg_sec, 1),
+                "kg_docs_per_sec_warm": round(n_bench_docs / kg_sec_warm, 1),
                 "n_bench_docs": n_bench_docs,
                 "cpus": cpus,
             }
