@@ -824,6 +824,8 @@ from . import queries_textmine  # noqa: E402,F401
 from . import queries_analytic  # noqa: E402,F401
 from . import queries_spans  # noqa: E402,F401
 from . import queries_relops  # noqa: E402,F401
+from . import queries_sketch  # noqa: E402,F401
+from . import queries_dq  # noqa: E402,F401
 
 
 _FAKE_DECODE_SQL = """

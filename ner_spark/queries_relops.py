@@ -510,3 +510,96 @@ def wordgraph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").cast("int").alias("dist"))
         )
     return reached
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15: top supplier by windowed revenue
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18, 6))
+                        * CAST(1 - l_discount AS DECIMAL(9, 6))), 2)
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-07-01'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT max(total_revenue) AS max_rev FROM rev)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN rev r ON s.s_suppkey = r.supplier_no
+JOIN mx ON r.total_revenue = mx.max_rev
+"""
+
+
+@query("tpch_top_supplier", _Q15_SQL)
+def tpch_top_supplier(spark, sf_dir):
+    """TPC-H Q15: per-supplier revenue over a ship-date window, then the
+    supplier(s) achieving the maximum. The max attaches as a broadcast
+    1-row EQUI-join on the revenue value (never a global sort / window over
+    everything, and never a nested loop): the revenue aggregate is one
+    shuffle on l_suppkey, the max a map-side-combined global aggregate.
+    Revenue stays DECIMAL until the final round-then-double, so the
+    max-equality join key is bit-identical on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("max_rev"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rank-family window functions
+# ---------------------------------------------------------------------------
+
+_WINFUNC_SQL = """
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cum_dist,
+       CAST(dense_rank() OVER
+              (PARTITION BY event_type ORDER BY CAST(floor(value) AS BIGINT))
+            AS BIGINT) AS value_band_rank
+FROM events
+WHERE value IS NOT NULL
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+@query("events_window_funcs", _WINFUNC_SQL)
+def events_window_funcs(spark, sf_dir):
+    """Rank-family window coverage: ntile / percent_rank / cume_dist /
+    dense_rank, all partitioned by the natural key (no global sort). The
+    ordering key includes the unique event_id so ntile's tie-splitting is
+    deterministic at any parallelism; percent_rank and cume_dist are single
+    IEEE divisions of integers — bit-identical cross-engine."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wband = Window.partitionBy("event_type").orderBy(F.floor("value"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.dense_rank().over(wband).cast("bigint").alias("value_band_rank"),
+    )

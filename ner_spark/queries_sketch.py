@@ -1,0 +1,411 @@
+"""Distributed-sketch and training-batch operators, oracle-backed.
+
+Scale notes per query:
+
+- ``sketch_kmv_distinct``: K-minimum-values distinct sketch — the mergeable
+  cardinality estimator for 100 TB group-bys where exact COUNT(DISTINCT)
+  would shuffle every value. The bottom-K selection is two-phase (partial
+  bottom-K per 16-way salt bucket, then a merge of <= 16*K values per
+  group), so no group ever aggregates more than salts*K hashes and the
+  partial aggregation is map-side combinable. Hashes are md5-derived
+  (``md5_60``) so DuckDB replays the exact same sketch; the estimate is a
+  SINGLE IEEE division (exact-rounded, bit-identical cross-engine), never
+  a libm call. Exact counts ride along for the accuracy comparison.
+- ``tpch_bloom_prefilter``: bloom-filter semi-join pre-filtering — the
+  standard trick for shrinking a big probe side BEFORE the shuffle join.
+  The filter's set bit positions are a <= M-row broadcast relation
+  (h md5-derived positions per dim key); a probe row passes iff all h of
+  its positions hit. Output compares bloom-pass counts vs the exact semi
+  join per order priority: false positives visible, false negatives
+  provably zero (tests + oracle). At cluster scale the bits relation is a
+  few KB broadcast to every executor — probe-side rows that fail never
+  enter the join exchange.
+- ``pack_training_sequences``: greedy first-fit sequence packing of
+  documents into fixed token-budget training sequences — inherently
+  sequential per bucket, so documents are hash-bucketed (md5, 32 ways)
+  and each bucket packs independently inside ONE Arrow-batched
+  ``applyInPandas`` group (the blessed Python path; never per-row).
+  At 100 TB the bucket count scales with the cluster, each task streams
+  one bucket in doc_id order. The DuckDB oracle replays the greedy fold
+  with a recursive CTE — packing is deterministic, so rows+schema+hash.
+- ``orders_cube_revenue``: CUBE over (status, priority) with
+  ``grouping()``-derived gid — subtotal lattice in one pass (Spark expands
+  grouping sets inside a single partial/final aggregate, no N scans).
+  Money stays DECIMAL until the final round-then-double.
+- ``tpch_order_distribution``: TPC-H Q13 — left outer join with an ON-side
+  filter (never a WHERE, which would turn it inner) feeding a two-level
+  aggregation; the classic count-of-counts histogram.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import md5_60
+from .queries import _t, query
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+_KMV_SALTS = 16
+_POW2_60 = float(1 << 60)  # exactly representable; (K-1)*2^60 has a 5-bit mantissa
+
+_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+sk AS (
+  SELECT event_type,
+         max(CASE WHEN rn = {_KMV_K} THEN h END) AS kth,
+         count(*) FILTER (WHERE rn <= {_KMV_K}) AS n_in_sketch
+  FROM r GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+)
+SELECT ex.event_type,
+       CAST(ex.n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(sk.kth, -1) AS BIGINT) AS kth_min,
+       CASE WHEN sk.n_in_sketch < {_KMV_K}
+            THEN CAST(sk.n_in_sketch AS DOUBLE)
+            ELSE {_KMV_K - 1}.0 * {1 << 60} / CAST(sk.kth AS DOUBLE)
+       END AS est_distinct
+FROM ex JOIN sk ON ex.event_type = sk.event_type
+"""
+
+
+@query("sketch_kmv_distinct", _KMV_SQL)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-K) distinct sketch per event_type, two-phase bottom-K
+    merge, alongside the exact distinct count. Estimate = (K-1) * 2^60 /
+    kth_min — one IEEE division, replayed bit-for-bit by the oracle."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+    )
+    hashed = ev.select(
+        "event_type", md5_60(F.col("user_id").cast("string")).alias("h")
+    )
+    # phase 1: bottom-K per (type, salt) — bounded state, map-side combinable
+    part = hashed.groupBy(
+        "event_type", F.pmod(F.col("h"), F.lit(_KMV_SALTS)).alias("_salt")
+    ).agg(F.slice(F.sort_array(F.collect_set("h")), 1, _KMV_K).alias("part"))
+    # phase 2: merge <= SALTS*K values per type, keep the global bottom-K
+    sketch = (
+        part.select("event_type", F.explode("part").alias("h"))
+        .groupBy("event_type")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, _KMV_K).alias("hs"))
+        .select(
+            "event_type",
+            F.coalesce(
+                F.try_element_at("hs", F.lit(_KMV_K)), F.lit(-1)
+            ).alias("kth_min"),
+            F.size("hs").alias("n_in_sketch"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(sketch, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("kth_min").cast("bigint").alias("kth_min"),
+        F.when(
+            F.col("n_in_sketch") < _KMV_K, F.col("n_in_sketch").cast("double")
+        )
+        .otherwise(
+            F.lit(float(_KMV_K - 1)) * F.lit(_POW2_60)
+            / F.col("kth_min").cast("double")
+        )
+        .alias("est_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter semi-join pre-filter
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1024  # bits
+_BLOOM_H = 3  # hash functions
+_BLOOM_BAL = 9000.0  # dim predicate: c_acctbal > this
+
+_BLOOM_SQL = f"""
+WITH dim AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > {_BLOOM_BAL}
+),
+hj AS (SELECT unnest([1, 2, 3]) AS j),
+bits AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+                    1, 15))::BIGINT % {_BLOOM_M} AS pos
+  FROM dim, hj
+),
+probe AS (
+  SELECT o.o_orderkey, o.o_custkey, j,
+    ('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+                    1, 15))::BIGINT % {_BLOOM_M} AS pos
+  FROM orders o, hj
+),
+pass AS (
+  SELECT p.o_orderkey
+  FROM probe p JOIN bits b ON p.pos = b.pos
+  GROUP BY p.o_orderkey
+  HAVING count(DISTINCT p.j) = {_BLOOM_H}
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) FILTER (WHERE pass.o_orderkey IS NOT NULL) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(count(*) FILTER (WHERE dim.c_custkey IS NOT NULL) AS BIGINT)
+         AS n_exact,
+       CAST(count(*) FILTER (WHERE pass.o_orderkey IS NOT NULL
+                             AND dim.c_custkey IS NULL) AS BIGINT)
+         AS n_false_pos
+FROM orders o
+LEFT JOIN pass ON o.o_orderkey = pass.o_orderkey
+LEFT JOIN dim ON o.o_custkey = dim.c_custkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def _bloom_pos(key, j):
+    return F.pmod(
+        md5_60(F.concat(key.cast("string"), F.lit("#"), j.cast("string"))),
+        F.lit(_BLOOM_M),
+    )
+
+
+@query("tpch_bloom_prefilter", _BLOOM_SQL)
+def tpch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-filter vs the exact semi join: the set-bits relation
+    (<= M rows) broadcasts; probe rows pass iff all H md5-derived positions
+    hit. Per priority: bloom passes, exact matches, false positives (false
+    negatives are impossible by construction — asserted in tests)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > _BLOOM_BAL)
+        .select("c_custkey")
+        .distinct()
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(1, _BLOOM_H + 1)])).alias("j")
+    bits = (
+        dim.select(F.col("c_custkey"), js)
+        .select(_bloom_pos(F.col("c_custkey"), F.col("j")).alias("pos"))
+        .distinct()
+    )
+    probe = o.select("o_orderkey", "o_custkey", js).withColumn(
+        "pos", _bloom_pos(F.col("o_custkey"), F.col("j"))
+    )
+    passed = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("o_orderkey")
+        .agg(F.countDistinct("j").alias("nm"))
+        .filter(F.col("nm") == _BLOOM_H)
+        .select("o_orderkey", F.lit(1).alias("_bloom"))
+    )
+    flagged = o.join(passed, "o_orderkey", "left").join(
+        F.broadcast(dim.withColumnRenamed("c_custkey", "_dimkey")),
+        F.col("o_custkey") == F.col("_dimkey"),
+        "left",
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("_bloom").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("_dimkey").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(
+            F.when(
+                F.col("_bloom").isNotNull() & F.col("_dimkey").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# greedy training-sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+_PACK_BUCKETS = 32
+
+_PACK_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {_PACK_BUCKETS} AS bucket,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+ord AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM base
+),
+pack AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN p.fill + t.n_tokens <= {_PACK_BUDGET}
+              THEN p.seq_id ELSE p.seq_id + 1 END,
+         CASE WHEN p.fill + t.n_tokens <= {_PACK_BUDGET}
+              THEN p.fill + t.n_tokens ELSE t.n_tokens END
+  FROM pack p JOIN ord t ON t.bucket = p.bucket AND t.rn = p.rn + 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, doc_id, n_tokens,
+       seq_id, CAST(fill - n_tokens AS BIGINT) AS "offset"
+FROM pack
+"""
+
+
+def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    seq_ids, offsets = [], []
+    seq, fill = 0, 0
+    first = True
+    for n in pdf["n_tokens"]:
+        n = int(n)
+        if first:
+            seq, fill = 0, n
+            offsets.append(0)
+            first = False
+        elif fill + n <= _PACK_BUDGET:
+            offsets.append(fill)
+            fill += n
+        else:
+            seq += 1
+            offsets.append(0)
+            fill = n
+        seq_ids.append(seq)
+    out = pdf[["bucket", "doc_id", "n_tokens"]].copy()
+    out["seq_id"] = pd.Series(seq_ids, dtype="int64")
+    out["offset"] = pd.Series(offsets, dtype="int64")
+    return out
+
+
+@query("pack_training_sequences", _PACK_SQL)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit packing of docs into {budget}-token training
+    sequences, independently per md5 hash bucket (sequential fold inside one
+    Arrow-batched applyInPandas group; oracle = recursive-CTE replay of the
+    same fold). Reference analogue: the corpus batching of
+    src/utils/corpus.py generalized to token-budget packing."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    base = docs.select(
+        "doc_id",
+        F.pmod(md5_60(F.col("doc_id").cast("string")), F.lit(_PACK_BUCKETS))
+        .cast("bigint")
+        .alias("bucket"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    return base.groupBy("bucket").applyInPandas(
+        _pack_group,
+        schema="bucket bigint, doc_id bigint, n_tokens bigint, "
+        "seq_id bigint, offset bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE with grouping-id
+# ---------------------------------------------------------------------------
+
+_CUBE_SQL = """
+SELECT coalesce(o_orderstatus, '(all)') AS status_g,
+       coalesce(o_orderpriority, '(all)') AS prio_g,
+       CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS INT)
+         AS gid,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18, 4))) AS DOUBLE), 2)
+         AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("orders_cube_revenue", _CUBE_SQL)
+def orders_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE lattice over (status, priority) with a grouping()-derived gid —
+    all four grouping sets in one partial/final aggregate pass; DECIMAL
+    money until the final round."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.lit(2) * F.grouping("o_orderstatus")
+                + F.grouping("o_orderpriority")
+            )
+            .cast("int")
+            .alias("gid"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+                2,
+            ).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status_g"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("prio_g"),
+            "gid",
+            "total_price",
+            "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13: customer order-count distribution
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@query("tpch_order_distribution", _Q13_SQL)
+def tpch_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: LEFT OUTER join with the filter in the ON clause
+    (customers with zero qualifying orders survive with c_count = 0),
+    then the count-of-counts histogram."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))

@@ -1,0 +1,81 @@
+"""Semantic properties of the DQ constraint report, TPC-H Q15, and the
+rank-family window queries (oracle parity is the driver's job)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ner_spark.queries import _t
+from ner_spark.queries_dq import dq_constraint_report
+from ner_spark.queries_relops import events_window_funcs, tpch_top_supplier
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_dq_report_covers_all_rules_and_is_sane(spark):
+    rows = {r.rule: r for r in dq_constraint_report(spark, SF_DIR).collect()}
+    assert len(rows) == 7
+    for r in rows.values():
+        assert 0 <= r.n_violations <= r.n_checked, r.rule
+    # synthetic data is clean on the hard invariants
+    assert rows["documents.doc_id unique"].n_violations == 0
+    assert rows["orders.o_custkey references customer"].n_violations == 0
+    assert rows["documents.n_chars consistent"].n_violations == 0
+    n_docs = _t(spark, SF_DIR, "documents").count()
+    assert rows["documents.doc_id unique"].n_checked == n_docs
+
+
+def test_top_supplier_matches_bruteforce_max(spark):
+    rows = tpch_top_supplier(spark, SF_DIR).collect()
+    assert rows
+    li = _t(spark, SF_DIR, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("rev")
+        )
+        .collect()
+    )
+    max_rev = max(r.rev for r in per_supp)
+    winners = {r.l_suppkey for r in per_supp if r.rev == max_rev}
+    assert {r.s_suppkey for r in rows} == winners
+    assert all(r.total_revenue == max_rev for r in rows)
+
+
+def test_window_funcs_bounds_and_monotonicity(spark):
+    rows = events_window_funcs(spark, SF_DIR).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert 1 <= r.quartile <= 4
+        assert 0.0 <= r.pct_rank <= 1.0
+        assert 0.0 < r.cum_dist <= 1.0
+        by_type.setdefault(r.event_type, []).append(r)
+    ev = {
+        (r.event_id): (r.value)
+        for r in _t(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .collect()
+    }
+    for rs in by_type.values():
+        rs.sort(key=lambda r: (ev[r.event_id], r.event_id))
+        for a, b in zip(rs, rs[1:]):
+            assert a.quartile <= b.quartile
+            assert a.pct_rank <= b.pct_rank
+            assert a.cum_dist <= b.cum_dist
+            assert a.value_band_rank <= b.value_band_rank
+        # quartile sizes differ by at most one
+        from collections import Counter
+
+        sizes = Counter(r.quartile for r in rs)
+        assert max(sizes.values()) - min(sizes.values()) <= 1

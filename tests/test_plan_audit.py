@@ -35,6 +35,12 @@ CROSS_OK = {"ann_topk_bruteforce"}
 # through it, never the data.
 SCALAR_NLJ_OK = {"tfidf_topk", "mix_temperature_weights", "doc_lm_surprisal"}
 
+# global aggregates (constraint report rows, the Q15 max attach): the final
+# aggregate legitimately ends in a SinglePartition exchange — map-side
+# partial aggregation means one pre-aggregated row per task flows through
+# it, never the data. No NLJ exemption: these attach via equi-joins.
+GLOBAL_AGG_OK = {"dq_constraint_report", "tpch_top_supplier"}
+
 # queries whose semantics require a Python stage (tolerant XML parser,
 # model taggers, fake multimodal codec) — Arrow-batched is still enforced
 ARROW_OK = {
@@ -45,6 +51,9 @@ ARROW_OK = {
     "multimodal_resize_plan",
     "multimodal_frame_plan",
     "kg_flagship_triples",
+    # greedy per-bucket packing fold: inherently sequential per group,
+    # runs as ONE Arrow-batched applyInPandas stage per hash bucket
+    "pack_training_sequences",
 }
 
 
@@ -65,10 +74,12 @@ def test_query_plan_has_no_antipatterns(spark, name):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if name not in ARROW_OK:
-        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
-            f"{name}: unexpected Python stage"
-        )
-    if name not in SCALAR_NLJ_OK:
+        assert (
+            "ArrowEvalPython" not in plan
+            and "MapInPandas" not in plan
+            and "FlatMapGroupsInPandas" not in plan
+        ), f"{name}: unexpected Python stage"
+    if name not in SCALAR_NLJ_OK and name not in GLOBAL_AGG_OK:
         assert "Exchange SinglePartition" not in plan, (
             f"{name}: single-reducer exchange"
         )
