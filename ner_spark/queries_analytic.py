@@ -532,3 +532,142 @@ def events_window_uniques(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("unique_users"),
         F.sum("n").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-filter attrition funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_Q_SQL = """
+WITH f AS (
+  SELECT text IS NOT NULL AND length(trim(text)) > 0 AS s1,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         CASE WHEN text IS NULL THEN 0
+              ELSE length(regexp_replace(text, '\\s+', '', 'g')) END AS n_ink,
+         CASE WHEN text IS NULL THEN 0
+              ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) END
+           AS n_alpha,
+         coalesce(length(text), 0) AS n_len
+  FROM documents
+),
+c AS (
+  SELECT s1,
+         s1 AND n_tok >= 20 AS s2,
+         s1 AND n_tok >= 20
+            AND CAST(n_ink AS DOUBLE) / n_tok >= 3.0
+            AND CAST(n_ink AS DOUBLE) / n_tok <= 12.0 AS s3,
+         s1 AND n_tok >= 20
+            AND CAST(n_ink AS DOUBLE) / n_tok >= 3.0
+            AND CAST(n_ink AS DOUBLE) / n_tok <= 12.0
+            AND CAST(n_alpha AS DOUBLE) / n_len >= 0.6 AS s4
+  FROM f
+)
+SELECT * FROM (
+  SELECT '0_all' AS stage, count(*) AS n_docs FROM c
+  UNION ALL SELECT '1_nonempty', count(*) FILTER (WHERE s1) FROM c
+  UNION ALL SELECT '2_min_tokens', count(*) FILTER (WHERE s2) FROM c
+  UNION ALL SELECT '3_word_length', count(*) FILTER (WHERE s3) FROM c
+  UNION ALL SELECT '4_alpha_ratio', count(*) FILTER (WHERE s4) FROM c
+)
+"""
+
+
+@query("quality_filter_funnel", _FUNNEL_Q_SQL)
+def quality_filter_funnel(spark, sf_dir):
+    """Training-corpus attrition accounting: how many documents survive each
+    cumulative quality gate (non-empty -> min tokens -> mean word length in
+    [3,12] -> alphabetic ratio >= 0.6). ONE pass over the corpus computes
+    every per-doc predicate; the funnel rows are conditional counts of the
+    same aggregate (never five scans). Ratio comparisons are single IEEE
+    divisions — bit-identical cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    n_ink = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.length(F.regexp_replace("text", r"\s+", ""))
+    )
+    n_alpha = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    )
+    n_len = F.coalesce(F.length("text"), F.lit(0))
+    per_doc = docs.select(
+        (F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)).alias("s1"),
+        n_tok.alias("n_tok"),
+        n_ink.alias("n_ink"),
+        n_alpha.alias("n_alpha"),
+        n_len.alias("n_len"),
+    ).select(
+        "s1",
+        (F.col("s1") & (F.col("n_tok") >= 20)).alias("s2"),
+        (
+            F.col("s1")
+            & (F.col("n_tok") >= 20)
+            & (F.col("n_ink").cast("double") / F.col("n_tok") >= 3.0)
+            & (F.col("n_ink").cast("double") / F.col("n_tok") <= 12.0)
+        ).alias("s3"),
+        (
+            F.col("s1")
+            & (F.col("n_tok") >= 20)
+            & (F.col("n_ink").cast("double") / F.col("n_tok") >= 3.0)
+            & (F.col("n_ink").cast("double") / F.col("n_tok") <= 12.0)
+            & (F.col("n_alpha").cast("double") / F.col("n_len") >= 0.6)
+        ).alias("s4"),
+    )
+    agg = per_doc.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("s1").cast("long")).alias("n1"),
+        F.sum(F.col("s2").cast("long")).alias("n2"),
+        F.sum(F.col("s3").cast("long")).alias("n3"),
+        F.sum(F.col("s4").cast("long")).alias("n4"),
+    )
+    return agg.selectExpr(
+        "stack(5, '0_all', n0, '1_nonempty', n1, '2_min_tokens', n2, "
+        "'3_word_length', n3, '4_alpha_ratio', n4) AS (stage, n_docs)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+coh AS (
+  SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', c.cohort_week, a.week) // 7 AS INT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM act a JOIN coh c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("events_retention_cohorts", _COHORT_SQL)
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix: users grouped by first-active week,
+    counted in every later week they return. The cohort dim (one row per
+    user) comes from the SAME distinct-activity relation — one dedup
+    shuffle feeds both sides, and the join key is user_id, so the
+    activity-side partitioning is reused. Offsets are exact integer
+    arithmetic (day diff div 7)."""
+    act = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("week", "ts").alias("week"))
+        .distinct()
+    )
+    coh = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(coh, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("datediff(week, cohort_week) div 7").cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )

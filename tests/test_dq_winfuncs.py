@@ -79,3 +79,39 @@ def test_window_funcs_bounds_and_monotonicity(spark):
 
         sizes = Counter(r.quartile for r in rs)
         assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_quality_funnel_is_monotone_and_anchored(spark):
+    from ner_spark.queries_analytic import quality_filter_funnel
+
+    rows = {r.stage: r.n_docs for r in quality_filter_funnel(spark, SF_DIR).collect()}
+    assert list(sorted(rows)) == [
+        "0_all",
+        "1_nonempty",
+        "2_min_tokens",
+        "3_word_length",
+        "4_alpha_ratio",
+    ]
+    assert rows["0_all"] == _t(spark, SF_DIR, "documents").count()
+    ordered = [rows[k] for k in sorted(rows)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a >= b, "funnel must be non-increasing"
+    assert ordered[-1] > 0, "no document survives — thresholds are broken"
+
+
+def test_retention_cohorts_account_for_every_active_user(spark):
+    from ner_spark.queries_analytic import events_retention_cohorts
+
+    rows = events_retention_cohorts(spark, SF_DIR).collect()
+    assert rows
+    n_users = (
+        _t(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    # at offset 0 every cohort contains each of its users exactly once
+    assert sum(r.n_active for r in rows if r.week_offset == 0) == n_users
+    for r in rows:
+        assert r.week_offset >= 0
+    # retention never exceeds the cohort's own size
+    size = {r.cohort_week: r.n_active for r in rows if r.week_offset == 0}
+    for r in rows:
+        assert r.n_active <= size[r.cohort_week]

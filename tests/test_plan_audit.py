@@ -39,7 +39,11 @@ SCALAR_NLJ_OK = {"tfidf_topk", "mix_temperature_weights", "doc_lm_surprisal"}
 # aggregate legitimately ends in a SinglePartition exchange — map-side
 # partial aggregation means one pre-aggregated row per task flows through
 # it, never the data. No NLJ exemption: these attach via equi-joins.
-GLOBAL_AGG_OK = {"dq_constraint_report", "tpch_top_supplier"}
+GLOBAL_AGG_OK = {
+    "dq_constraint_report",
+    "tpch_top_supplier",
+    "quality_filter_funnel",
+}
 
 # queries whose semantics require a Python stage (tolerant XML parser,
 # model taggers, fake multimodal codec) — Arrow-batched is still enforced
