@@ -409,3 +409,161 @@ def tpch_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch set operations: union / intersection cardinality without a join
+# ---------------------------------------------------------------------------
+
+_SETOP_K = 256
+
+_SETOP_SQL = f"""
+WITH d AS (
+  SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL AND lang IN ('en', 'fr')
+),
+sh AS (
+  SELECT DISTINCT lang, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+  FROM d, unnest(generate_series(1, len(toks) - 2)) AS g(i)
+),
+marks AS (
+  SELECT s,
+         max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS has_a,
+         max(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS has_b
+  FROM sh GROUP BY s
+),
+exact AS (
+  SELECT count(*) AS n_union_exact,
+         sum(CASE WHEN has_a = 1 AND has_b = 1 THEN 1 ELSE 0 END)
+           AS n_inter_exact
+  FROM marks
+),
+h AS (
+  SELECT DISTINCT lang, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh
+),
+r AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM h
+),
+sk AS (SELECT lang, h FROM r WHERE rn <= {_SETOP_K}),
+agg AS (
+  SELECT list_sort(list(DISTINCT h) FILTER (WHERE lang = 'en')) AS ha,
+         list_sort(list(DISTINCT h) FILTER (WHERE lang = 'fr')) AS hb
+  FROM sk
+),
+sketch AS (
+  SELECT len(hu) AS n_u_sk, hu[{_SETOP_K}] AS kth,
+         len(list_intersect(list_intersect(ha, hb), hu)) AS c
+  FROM (SELECT ha, hb,
+               list_sort(list_distinct(list_concat(ha, hb)))[1:{_SETOP_K}] AS hu
+        FROM agg)
+)
+SELECT CAST({_SETOP_K} AS INT) AS k,
+       CAST(coalesce(s.kth, -1) AS BIGINT) AS kth_union,
+       CASE WHEN s.n_u_sk < {_SETOP_K}
+            THEN CAST(s.n_u_sk AS DOUBLE)
+            ELSE {_SETOP_K - 1}.0 * {1 << 60} / CAST(s.kth AS DOUBLE)
+       END AS est_union,
+       CASE WHEN s.n_u_sk < {_SETOP_K}
+            THEN CAST(s.c AS DOUBLE)
+            ELSE (CAST(s.c AS DOUBLE) / {_SETOP_K})
+                 * ({_SETOP_K - 1}.0 * {1 << 60} / CAST(s.kth AS DOUBLE))
+       END AS est_intersection,
+       CAST(e.n_union_exact AS BIGINT) AS n_union_exact,
+       CAST(e.n_inter_exact AS BIGINT) AS n_inter_exact
+FROM sketch s, exact e
+"""
+
+
+@query("sketch_kmv_setops", _SETOP_SQL)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-space set operations: union and intersection cardinality of
+    the en/fr 3-gram shingle vocabularies estimated from two mergeable
+    bottom-K sketches — the 100 TB recipe for cross-corpus overlap
+    (contamination, dedup planning) WITHOUT joining the corpora: each side
+    reduces to K hashes, the estimate merges K-size arrays. Estimator:
+    kth-min for the union; for the intersection, the fraction of the union
+    sketch present in BOTH sketches scales the union estimate (standard
+    KMV Jaccard). Exact counts ride along. Membership 'h <= kth AND in
+    both' is computed as array_intersect with the union sketch — no
+    lambda higher-order functions anywhere."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isin("en", "fr")
+    )
+    toked = docs.select("lang", F.split(F.trim(F.lower("text")), r"\s+").alias("toks"))
+    # guard: sequence(1, 0) DESCENDS in Spark (DuckDB's generate_series is
+    # empty) — short docs must produce zero shingles on both engines
+    sh = toked.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 3 THEN "
+                "transform(sequence(1, size(toks) - 2), "
+                "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) "
+                "ELSE array() END"
+            )
+        ).alias("s"),
+    ).distinct()
+    # exact side: one shuffle on the shingle, map-side-combinable counts
+    marks = sh.groupBy("s").agg(
+        F.max(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("has_a"),
+        F.max(F.when(F.col("lang") == "fr", 1).otherwise(0)).alias("has_b"),
+    )
+    exact = marks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union_exact"),
+        F.sum(F.when((F.col("has_a") == 1) & (F.col("has_b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inter_exact"),
+    )
+    # sketch side: two-phase bottom-K per lang (bounded state at any scale)
+    hashed = sh.select("lang", md5_60(F.col("s")).alias("h"))
+    part = hashed.groupBy(
+        "lang", F.pmod(F.col("h"), F.lit(_KMV_SALTS)).alias("_salt")
+    ).agg(F.slice(F.sort_array(F.collect_set("h")), 1, _SETOP_K).alias("part"))
+    merged = (
+        part.select("lang", F.explode("part").alias("h"))
+        .groupBy("lang")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, _SETOP_K).alias("hs"))
+    )
+    one = merged.agg(
+        F.first(F.when(F.col("lang") == "en", F.col("hs")), ignorenulls=True).alias(
+            "ha"
+        ),
+        F.first(F.when(F.col("lang") == "fr", F.col("hs")), ignorenulls=True).alias(
+            "hb"
+        ),
+    ).select(
+        F.col("ha"),
+        F.col("hb"),
+        F.slice(
+            F.sort_array(F.array_union("ha", "hb")), 1, _SETOP_K
+        ).alias("hu"),
+    )
+    sketch = one.select(
+        F.size("hu").alias("n_u_sk"),
+        F.coalesce(F.try_element_at("hu", F.lit(_SETOP_K)), F.lit(-1)).alias("kth"),
+        F.size(F.array_intersect(F.array_intersect("ha", "hb"), "hu")).alias("c"),
+    )
+    est_union = F.when(
+        F.col("n_u_sk") < _SETOP_K, F.col("n_u_sk").cast("double")
+    ).otherwise(
+        F.lit(float(_SETOP_K - 1)) * F.lit(_POW2_60) / F.col("kth").cast("double")
+    )
+    est_inter = F.when(
+        F.col("n_u_sk") < _SETOP_K, F.col("c").cast("double")
+    ).otherwise(
+        (F.col("c").cast("double") / F.lit(_SETOP_K))
+        * (
+            F.lit(float(_SETOP_K - 1))
+            * F.lit(_POW2_60)
+            / F.col("kth").cast("double")
+        )
+    )
+    return sketch.crossJoin(F.broadcast(exact)).select(
+        F.lit(_SETOP_K).cast("int").alias("k"),
+        F.col("kth").cast("bigint").alias("kth_union"),
+        est_union.alias("est_union"),
+        est_inter.alias("est_intersection"),
+        "n_union_exact",
+        "n_inter_exact",
+    )

@@ -33,7 +33,13 @@ CROSS_OK = {"ann_topk_bruteforce"}
 # Its global aggregate also legitimately ends in a SinglePartition exchange:
 # map-side partial aggregation means one pre-aggregated row per task flows
 # through it, never the data.
-SCALAR_NLJ_OK = {"tfidf_topk", "mix_temperature_weights", "doc_lm_surprisal"}
+SCALAR_NLJ_OK = {
+    "tfidf_topk",
+    "mix_temperature_weights",
+    "doc_lm_surprisal",
+    # 1-row sketch frame x 1-row exact frame (both pre-aggregated)
+    "sketch_kmv_setops",
+}
 
 # global aggregates (constraint report rows, the Q15 max attach): the final
 # aggregate legitimately ends in a SinglePartition exchange — map-side

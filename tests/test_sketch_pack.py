@@ -136,3 +136,20 @@ def test_q13_distribution_accounts_for_every_customer(spark):
     )
     got_zero = sum(r.custdist for r in rows if r.c_count == 0)
     assert got_zero == n_zero
+
+
+def test_kmv_setops_estimates_track_exact(spark):
+    from ner_spark.queries_sketch import _SETOP_K, sketch_kmv_setops
+
+    r = sketch_kmv_setops(spark, SF_DIR).collect()[0]
+    assert r.k == _SETOP_K
+    assert r.n_union_exact >= r.n_inter_exact >= 0
+    if r.kth_union == -1:
+        # sketch saw everything: both estimates are exact
+        assert r.est_union == float(r.n_union_exact)
+        assert r.est_intersection == float(r.n_inter_exact)
+    else:
+        assert abs(r.est_union - r.n_union_exact) / r.n_union_exact < 0.3
+        # intersection error compounds (union est x fraction): allow wider
+        denom = max(r.n_inter_exact, 1)
+        assert abs(r.est_intersection - r.n_inter_exact) / denom < 0.6
