@@ -26,6 +26,24 @@ def _force(df) -> int:
     return 0
 
 
+def _probe_gbps(seconds: float = 2.0) -> float:
+    """Single-proc memcpy bandwidth (pure numpy, no JVM). The hypervisor
+    throttles this box bistably (0.01 -> 10+ GB/s within minutes, see
+    BENCH/BASELINE.md); stamping the phase before/after lets any reader
+    tell a clean measurement from a throttled one without guessing from
+    the walls themselves."""
+    import numpy as np
+
+    a = np.zeros(8_000_000)
+    b = np.ones(8_000_000)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        np.copyto(a, b)
+        n += 1
+    return round(n * 64_000_000 / (time.time() - t0) / 1e9, 3)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -38,6 +56,8 @@ def main() -> int:
     from ner_spark.operators.relations import extract_triples
     from ner_spark.plans.pipeline import KGPipeline
     from ner_spark.session import get_spark
+
+    probe_before = _probe_gbps()
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
@@ -108,6 +128,8 @@ def main() -> int:
                 "kg_docs_per_sec_warm": round(n_bench_docs / kg_sec_warm, 1),
                 "n_bench_docs": n_bench_docs,
                 "cpus": cpus,
+                "probe_gbps_before": probe_before,
+                "probe_gbps_after": _probe_gbps(),
             }
         )
     )
