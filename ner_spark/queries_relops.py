@@ -603,3 +603,75 @@ def events_window_funcs(spark, sf_dir):
         F.cume_dist().over(w).alias("cum_dist"),
         F.dense_rank().over(wband).cast("bigint").alias("value_band_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7: volume shipping between nation pairs
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = """
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18, 6))
+                      * CAST(1 - l.l_discount AS DECIMAL(9, 6))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ns.n_nationkey <> nc.n_nationkey
+GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+"""
+
+
+@query("tpch_nation_volume", _Q7_SQL)
+def tpch_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: the fact table joins two independent dimension
+    chains (supplier-nation and customer-via-orders-nation). Every
+    dimension broadcasts, so lineitem is shuffled exactly ONCE — for the
+    orders join — and the five-way constellation costs one exchange; the
+    cross-nation filter runs post-join on broadcast columns. Revenue stays
+    DECIMAL until the final round."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("_cnk"),
+                                 F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("_cnk"),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("_snk"),
+                                 F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("_snk"),
+        )
+        .filter(F.col("_snk") != F.col("_cnk"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
