@@ -130,8 +130,9 @@ def main() -> int:
         ok = True
         for cores in (args.lo, args.hi):
             r = run_level(cores, args.n_docs, args.run_timeout)
+            time.sleep(5)  # let the chain JVM's shutdown threads drain
             g = probe_gbps()
-            c = probe_cpu()
+            c = probe_cpu(seconds=4.0)
             rec = {
                 "cores": cores,
                 "result": r,
