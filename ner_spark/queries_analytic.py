@@ -671,3 +671,74 @@ def events_retention_cohorts(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: longest consecutive-day activity streak
+# ---------------------------------------------------------------------------
+
+_STREAK_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+r AS (
+  SELECT user_id, day,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d
+),
+s AS (
+  SELECT user_id, min(day) AS streak_start, count(*) AS streak_len
+  FROM (SELECT user_id, day, day - CAST(rn AS INT) AS grp FROM r)
+  GROUP BY user_id, grp
+),
+m AS (
+  SELECT user_id, streak_start, streak_len,
+         max(streak_len) OVER (PARTITION BY user_id) AS mx
+  FROM s
+)
+SELECT user_id,
+       CAST(streak_len AS BIGINT) AS max_streak,
+       strftime(min(streak_start), '%Y-%m-%d') AS first_longest_start
+FROM m WHERE streak_len = mx
+GROUP BY user_id, streak_len
+"""
+
+
+@query("events_activity_streaks", _STREAK_SQL)
+def events_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: longest run of consecutive active days per user.
+    The island key is pure integer arithmetic (day minus row_number-as-days
+    is constant within a run), so one partitioned window + two grouped
+    aggregations solve it — no self-join, no recursion, partitioned by the
+    natural key throughout (never a global sort)."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("grp"),
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.min("day").alias("streak_start"),
+        F.count(F.lit(1)).alias("streak_len"),
+    )
+    mx = Window.partitionBy("user_id")
+    m = s.select(
+        "user_id",
+        "streak_start",
+        "streak_len",
+        F.max("streak_len").over(mx).alias("mx"),
+    ).filter(F.col("streak_len") == F.col("mx"))
+    return m.groupBy("user_id", "streak_len").agg(
+        F.date_format(F.min("streak_start"), "yyyy-MM-dd").alias(
+            "first_longest_start"
+        )
+    ).select(
+        "user_id",
+        F.col("streak_len").cast("bigint").alias("max_streak"),
+        "first_longest_start",
+    )

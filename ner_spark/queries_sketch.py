@@ -567,3 +567,96 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_union_exact",
         "n_inter_exact",
     )
+
+
+# ---------------------------------------------------------------------------
+# anti-entropy: per-bucket checksums to locate replica divergence
+# ---------------------------------------------------------------------------
+
+_CKSUM_BUCKETS = 16
+
+_CKSUM_SQL = f"""
+WITH a AS (
+  SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           % {_CKSUM_BUCKETS} AS bucket,
+         ('0x' || substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                                       o_orderstatus, o_orderpriority)),
+                         1, 15))::BIGINT AS h
+  FROM orders
+),
+bb AS (  -- the 'replica': rows keyed o_orderkey % 997 = 0 went missing
+  SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           % {_CKSUM_BUCKETS} AS bucket,
+         ('0x' || substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                                       o_orderstatus, o_orderpriority)),
+                         1, 15))::BIGINT AS h
+  FROM orders WHERE o_orderkey % 997 <> 0
+),
+ca AS (
+  SELECT bucket, count(*) AS n_a, CAST(sum(h) AS DECIMAL(38, 0)) AS sum_a
+  FROM a GROUP BY bucket
+),
+cb AS (
+  SELECT bucket, count(*) AS n_b, CAST(sum(h) AS DECIMAL(38, 0)) AS sum_b
+  FROM bb GROUP BY bucket
+)
+SELECT ca.bucket,
+       CAST(ca.n_a AS BIGINT) AS n_a,
+       CAST(coalesce(cb.n_b, 0) AS BIGINT) AS n_b,
+       (ca.n_a = coalesce(cb.n_b, 0)
+        AND ca.sum_a = coalesce(cb.sum_b, 0)) AS checksums_match
+FROM ca LEFT JOIN cb ON ca.bucket = cb.bucket
+"""
+
+
+@query("table_bucket_checksums", _CKSUM_SQL)
+def table_bucket_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy repair scan: content checksum (exact DECIMAL sum of a
+    row hash) + row count per hash bucket, compared between a table and a
+    'replica' missing a deterministic slice of keys. At 100 TB this is how
+    two copies are reconciled WITHOUT shipping rows: each side aggregates
+    to n_buckets tiny rows locally (map-side combinable sums), only
+    mismatched buckets need re-sync. The md5 row hash and DECIMAL(38,0)
+    sum replay exactly in the oracle."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.pmod(
+                md5_60(F.col("o_orderkey").cast("string")),
+                F.lit(_CKSUM_BUCKETS),
+            ).alias("bucket"),
+            md5_60(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    "o_orderstatus",
+                    "o_orderpriority",
+                )
+            ).alias("h"),
+        )
+
+    def cksum(df: DataFrame, n: str, s: str) -> DataFrame:
+        return df.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias(n),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias(s),
+        )
+
+    ca = cksum(hashed(o), "n_a", "sum_a")
+    cb = cksum(
+        hashed(o.filter(F.col("o_orderkey") % 997 != 0)), "n_b", "sum_b"
+    )
+    return ca.join(cb, "bucket", "left").select(
+        "bucket",
+        "n_a",
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        (
+            (F.col("n_a") == F.coalesce("n_b", F.lit(0)))
+            & (
+                F.col("sum_a")
+                == F.coalesce(F.col("sum_b"), F.lit(0).cast("decimal(38,0)"))
+            )
+        ).alias("checksums_match"),
+    )

@@ -115,3 +115,52 @@ def test_retention_cohorts_account_for_every_active_user(spark):
     size = {r.cohort_week: r.n_active for r in rows if r.week_offset == 0}
     for r in rows:
         assert r.n_active <= size[r.cohort_week]
+
+
+def test_activity_streaks_match_bruteforce(spark):
+    from collections import defaultdict
+
+    from ner_spark.queries_analytic import events_activity_streaks
+
+    rows = {r.user_id: r for r in events_activity_streaks(spark, SF_DIR).collect()}
+    days = defaultdict(set)
+    for r in _t(spark, SF_DIR, "events").select("user_id", "ts").collect():
+        days[r.user_id].add(r.ts.date())
+    for uid, ds in days.items():
+        ds = sorted(ds)
+        best, best_start, cur, cur_start = 1, ds[0], 1, ds[0]
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                cur, cur_start = 1, b
+            if cur > best:
+                best, best_start = cur, cur_start
+        got = rows[uid]
+        assert got.max_streak == best, uid
+        assert got.first_longest_start == best_start.strftime("%Y-%m-%d")
+
+
+def test_bucket_checksums_flag_exactly_the_divergent_buckets(spark):
+    from ner_spark.queries import _t as t
+    from ner_spark.queries_sketch import table_bucket_checksums
+    from ner_spark.operators.dedup import md5_60
+
+    rows = table_bucket_checksums(spark, SF_DIR).collect()
+    assert sum(r.n_a for r in rows) == t(spark, SF_DIR, "orders").count()
+    # buckets holding a dropped key must mismatch; all others must match
+    dropped = (
+        t(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") % 997 == 0)
+        .select(
+            F.pmod(md5_60(F.col("o_orderkey").cast("string")), F.lit(16)).alias(
+                "bucket"
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    divergent = {r.bucket for r in dropped}
+    for r in rows:
+        assert r.checksums_match == (r.bucket not in divergent), r.bucket
+        assert (r.n_a == r.n_b) == (r.bucket not in divergent) or r.n_a != r.n_b
