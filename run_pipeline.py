@@ -30,6 +30,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-buckets", type=int, default=32)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--skip-canonical", action="store_true")
+    p.add_argument(
+        "--compact",
+        action="store_true",
+        help="after the run, rewrite every catalog table to one file per "
+        "bucket (small-file maintenance; crash-safe staging swap)",
+    )
     args = p.parse_args(argv)
 
     from ner_spark import synth
@@ -147,6 +153,19 @@ def main(argv: list[str] | None = None) -> int:
         for r in runner.catalog.manifest_rows("s0_normalize")
         if r["fingerprint"] == fp0
     )
+    compaction = None
+    if args.compact:
+        import os as _os
+
+        compaction = {}
+        for table in sorted(
+            d
+            for d in _os.listdir(args.out)
+            if _os.path.isdir(_os.path.join(args.out, d))
+            and not d.endswith(".compact")  # leftover staging from a crash
+        ):
+            compaction[table] = runner.catalog.compact_table(spark, table)
+
     wall = time.time() - t_start
     metrics = {
         "n_docs": n_docs,
@@ -154,6 +173,8 @@ def main(argv: list[str] | None = None) -> int:
         "docs_per_sec": round(n_docs / wall, 1),
         "stages": runner.metrics_json(),
     }
+    if compaction is not None:
+        metrics["compaction"] = compaction
     print(json.dumps(metrics))
     return 0
 
