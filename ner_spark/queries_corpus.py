@@ -383,3 +383,43 @@ def doc_lm_surprisal(spark, sf_dir):
             F.round(F.avg(F.log(F.col("n") / F.col("c"))), 4).alias("surprisal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted Bernoulli sampling (deterministic, length-proportional)
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_SQL = """
+WITH mx AS (
+  SELECT source, max(n_chars) AS max_chars FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN mx ON d.source = mx.source
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      < CAST(floor((1152921504606846976.0 * d.n_chars) / mx.max_chars)
+             AS BIGINT)
+"""
+
+
+@query("sample_weighted_bernoulli", _WSAMPLE_SQL)
+def sample_weighted_bernoulli(spark, sf_dir):
+    """Deterministic weighted Bernoulli sampling: a document is kept with
+    probability n_chars / max(n_chars) within its source, decided by
+    comparing its md5 hash against a per-source threshold — no rand(), so
+    the SAME rows are kept at any parallelism, on re-runs, and in the
+    oracle replay. The threshold is floor((2^60 * w) / w_max): one IEEE
+    multiply, one divide, one floor — bit-identical cross-engine. The
+    per-source max is a 25-row broadcast dim, never a global aggregate."""
+    from .operators.dedup import md5_60 as _md5_60
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    mx = d.groupBy("source").agg(F.max("n_chars").alias("max_chars"))
+    thresh = F.floor(
+        (F.lit(float(1 << 60)) * F.col("n_chars").cast("double"))
+        / F.col("max_chars").cast("double")
+    ).cast("bigint")
+    return (
+        d.join(F.broadcast(mx), "source")
+        .filter(_md5_60(F.col("doc_id").cast("string")) < thresh)
+        .select("doc_id", "source", "n_chars")
+    )

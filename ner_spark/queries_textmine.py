@@ -149,3 +149,58 @@ def q_pii_redact(spark, sf_dir):
         ).alias("aug_text"),
     )
     return pii_redact(aug).select("doc_id", "n_emails", "n_phones", "redacted_md5")
+
+
+# ---------------------------------------------------------------------------
+# higher-order array-function surface parity
+# ---------------------------------------------------------------------------
+
+_HOF_SQL = """
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                        (acc, x) -> acc + x) AS BIGINT) AS total_chars,
+       CAST(list_max(list_transform(toks, x -> length(x))) AS INT)
+         AS longest_token,
+       CAST(len(list_filter(toks, x -> length(x) >= 6)) AS INT) AS n_long,
+       list_contains(toks, 'spark') AS mentions_spark
+FROM (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+)
+"""
+
+
+@query("doc_array_hof_stats", _HOF_SQL)
+def doc_array_hof_stats(spark, sf_dir):
+    """Higher-order-function surface parity: aggregate (fold), transform,
+    filter, array_max, array_contains over the per-doc token array —
+    Spark's lambda HOFs against DuckDB's list_* lambdas. These HOFs run
+    interpreted per row, which is fine BEFORE aggregation on narrow rows
+    (the measured anti-scaling cliff is HOF chains on post-aggregation
+    collect_list results — see consensus.py); the fold stays integer so
+    the replay is exact."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    toked = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
+    )
+    return toked.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        .cast("bigint")
+        .alias("total_chars"),
+        F.array_max(F.transform("toks", lambda x: F.length(x)))
+        .cast("int")
+        .alias("longest_token"),
+        F.size(F.filter("toks", lambda x: F.length(x) >= 6))
+        .cast("int")
+        .alias("n_long"),
+        F.array_contains("toks", "spark").alias("mentions_spark"),
+    )

@@ -164,3 +164,51 @@ def test_bucket_checksums_flag_exactly_the_divergent_buckets(spark):
     for r in rows:
         assert r.checksums_match == (r.bucket not in divergent), r.bucket
         assert (r.n_a == r.n_b) == (r.bucket not in divergent) or r.n_a != r.n_b
+
+
+def test_weighted_sample_is_deterministic_and_rate_tracks_weights(spark):
+    from ner_spark.queries_corpus import sample_weighted_bernoulli
+
+    a = {r.doc_id for r in sample_weighted_bernoulli(spark, SF_DIR).collect()}
+    b = {r.doc_id for r in sample_weighted_bernoulli(spark, SF_DIR).collect()}
+    assert a == b, "sampling must be reproducible"
+    docs = {
+        r.doc_id: (r.source, r.n_chars)
+        for r in _t(spark, SF_DIR, "documents")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    }
+    assert 0 < len(a) < len(docs)
+    # the max-weight doc of every source is kept with probability ~1
+    # (threshold = 2^60); empirical keep rate must exceed half the mean
+    # weight ratio and long docs must be kept more often than short ones
+    import statistics
+
+    by_len = sorted(docs.items(), key=lambda kv: kv[1][1])
+    short = {k for k, _ in by_len[: len(by_len) // 3]}
+    long_ = {k for k, _ in by_len[-len(by_len) // 3 :]}
+    rate_short = len(a & short) / len(short)
+    rate_long = len(a & long_) / len(long_)
+    assert rate_long > rate_short
+
+
+def test_array_hof_stats_match_python(spark):
+    from ner_spark.queries_textmine import doc_array_hof_stats
+
+    rows = doc_array_hof_stats(spark, SF_DIR).collect()
+    assert rows
+    texts = {
+        r.doc_id: r.text
+        for r in _t(spark, SF_DIR, "documents")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    }
+    import re as _re
+
+    for r in rows[:50]:
+        toks = _re.split(r"\s+", texts[r.doc_id].strip().lower())
+        assert r.n_tokens == len(toks)
+        assert r.total_chars == sum(len(t) for t in toks)
+        assert r.longest_token == max(len(t) for t in toks)
+        assert r.n_long == sum(1 for t in toks if len(t) >= 6)
+        assert r.mentions_spark == ("spark" in toks)
