@@ -423,3 +423,121 @@ def sample_weighted_bernoulli(spark, sf_dir):
         .filter(_md5_60(F.col("doc_id").cast("string")) < thresh)
         .select("doc_id", "source", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_chunk_stride: fixed-window overlapping chunking — the step that turns
+# curated documents into training-context pieces (window W, stride S < W so
+# consecutive chunks overlap by W-S). Pure per-row expression work: one
+# bounded sequence() + substring per document, no shuffle at all, so the
+# operator is embarrassingly parallel and scan-shaped at any corpus size.
+# The character window stands in for a token window (the container has no
+# real tokenizer); chunk starts land on the stride grid, the final chunk is
+# allowed to run short.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 200
+_CHUNK_S = 150
+
+_CHUNK_SQL = f"""
+    SELECT doc_id,
+           CAST(st // {_CHUNK_S} + 1 AS INT) AS chunk_idx,
+           CAST(st AS BIGINT) AS chunk_start,
+           CAST(length(substr(text, st + 1, {_CHUNK_W})) AS INT) AS chunk_len,
+           substr(text, st + 1, {_CHUNK_W}) AS chunk
+    FROM (SELECT doc_id, text FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0),
+         unnest(generate_series(0, length(text) - 1, {_CHUNK_S})) AS u(st)
+"""
+
+
+@query("doc_chunk_stride", _CHUNK_SQL)
+def doc_chunk_stride(spark, sf_dir):
+    """Overlapping fixed-stride chunks (W=200 chars, S=150, overlap 50)
+    per document: (doc_id, chunk_idx, chunk_start, chunk_len, chunk).
+    posexplode over sequence(0, len-1, S) — the length>0 filter guards
+    Spark's descending-sequence quirk (sequence(0, -1) counts DOWN)."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(F.lit(0), F.length("text") - 1, F.lit(_CHUNK_S))
+        ).alias("idx", "st"),
+        "text",
+    ).select(
+        "doc_id",
+        (F.col("idx") + 1).cast("int").alias("chunk_idx"),
+        F.col("st").cast("long").alias("chunk_start"),
+        F.length(F.col("text").substr(F.col("st") + 1, F.lit(_CHUNK_W)))
+        .cast("int")
+        .alias("chunk_len"),
+        F.col("text").substr(F.col("st") + 1, F.lit(_CHUNK_W)).alias("chunk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocab_oov_rate: tokenizer-vocabulary coverage. Phase 1 builds the top-V
+# token vocabulary (map-side-combinable count agg; the global top-V is a
+# TakeOrdered over per-partition top-Vs, never a full sort); phase 2 LEFT
+# joins the token stream against the BROADCAST vocabulary and aggregates
+# per-document OOV counts. The rate is reported in exact integer
+# per-10000 units (truncating div) — no float division anywhere, so the
+# oracle replay is grid-exact. At 100 TB the vocab is a few KB broadcast
+# to every executor; the corpus side never shuffles before its per-doc agg.
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 128
+
+_VOCAB_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ),
+    vocab AS (
+      SELECT t FROM (SELECT t, count(*) AS c FROM tok GROUP BY t)
+      ORDER BY c DESC, t ASC LIMIT {_VOCAB_V}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.t IS NULL) AS BIGINT) AS n_oov,
+           CAST(count(*) FILTER (WHERE v.t IS NULL) * 10000 // count(*)
+                AS BIGINT) AS oov_per_10k
+    FROM tok LEFT JOIN vocab v USING (t)
+    GROUP BY doc_id
+"""
+
+
+@query("vocab_oov_rate", _VOCAB_SQL)
+def vocab_oov_rate(spark, sf_dir):
+    """Per-document out-of-vocabulary rate against the corpus top-128
+    token vocabulary (ties broken token-ascending so the boundary is
+    pinned). Rate in integer per-10000 units — exact cross-engine."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    tok = docs.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(_VOCAB_V)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 10000 DIV n_tokens").cast("long").alias("oov_per_10k"),
+        )
+    )
