@@ -827,6 +827,7 @@ from . import queries_relops  # noqa: E402,F401
 from . import queries_sketch  # noqa: E402,F401
 from . import queries_dq  # noqa: E402,F401
 from . import queries_relops3  # noqa: E402,F401
+from . import queries_relops4  # noqa: E402,F401
 
 
 _FAKE_DECODE_SQL = """
