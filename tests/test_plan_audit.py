@@ -49,6 +49,10 @@ GLOBAL_AGG_OK = {
     "dq_constraint_report",
     "tpch_top_supplier",
     "quality_filter_funnel",
+    # single-row result by definition (global revenue forecast)
+    "tpch_q6",
+    # global average-balance scalar, attached via constant-key hash join
+    "tpch_q22_dormant",
 }
 
 # queries whose semantics require a Python stage (tolerant XML parser,
