@@ -35,10 +35,12 @@ Scale notes per query:
   survives the OR; the full disjunction then evaluates post-join. Checks
   that OR predicates don't silently defeat pushdown.
 - ``tpch_q22_dormant``: global scalar aggregate (average positive balance)
-  consumed by every row — attached as a broadcast single-row equi-join on
-  a constant key (hash join, not a nested loop), then an anti join against
-  orders. The above-average predicate is pure BIGINT (cents * n_customers
-  > total_cents): no division anywhere, so no float drift between engines.
+  consumed by every row — attached as a single-row broadcast join on a
+  constant key (Catalyst folds it to a trivially-true 1-row broadcast
+  nested loop: O(rows) at any scale since the build side is one
+  pre-aggregated row), then an anti join against orders. The
+  above-average predicate is pure BIGINT (cents * n_customers >
+  total_cents): no division anywhere, so no float drift between engines.
 """
 
 from __future__ import annotations
@@ -423,9 +425,9 @@ _Q22_SQL = """
 def tpch_q22_dormant(spark, sf_dir):
     """TPC-H Q22 (phone-free form): customers with an above-average
     positive balance and no order since 2000 (dormant), per nation. The global
-    average attaches as a broadcast single-row hash join on a constant
-    key; "above average" is the division-free integer form
-    cents * n > total_cents, exact in both engines."""
+    average attaches as a broadcast single-row join on a constant key
+    (folds to a 1-row NLJ, O(rows)); "above average" is the division-free
+    integer form cents * n > total_cents, exact in both engines."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
     pos = c.select(
         "c_custkey",

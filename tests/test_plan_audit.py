@@ -39,6 +39,10 @@ SCALAR_NLJ_OK = {
     "doc_lm_surprisal",
     # 1-row sketch frame x 1-row exact frame (both pre-aggregated)
     "sketch_kmv_setops",
+    # global average-balance scalar (1 pre-aggregated row) attached to
+    # every customer; Catalyst folds the constant-key equi-join to a
+    # trivially-true 1-row broadcast NLJ — O(rows) at any scale
+    "tpch_q22_dormant",
 }
 
 # global aggregates (constraint report rows, the Q15 max attach): the final
@@ -51,8 +55,6 @@ GLOBAL_AGG_OK = {
     "quality_filter_funnel",
     # single-row result by definition (global revenue forecast)
     "tpch_q6",
-    # global average-balance scalar, attached via constant-key hash join
-    "tpch_q22_dormant",
 }
 
 # queries whose semantics require a Python stage (tolerant XML parser,
