@@ -55,6 +55,11 @@ GLOBAL_AGG_OK = {
     "quality_filter_funnel",
     # single-row result by definition (global revenue forecast)
     "tpch_q6",
+    # Q15-style max attach (1 pre-aggregated row feeds the exchange)
+    "bpe_top_merge",
+    # cumulative window over the per-bucket aggregate: corpus/50 rows,
+    # both window inputs pre-aggregated before the single partition
+    "vocab_growth_heaps",
 }
 
 # queries whose semantics require a Python stage (tolerant XML parser,
