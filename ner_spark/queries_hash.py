@@ -302,6 +302,87 @@ def register_ivf_oracle(sf_dir: str = "/root/testdata/sf0.01") -> None:
         ORACLE["ann_topk_ivf"] = _ivf_sql(sf_dir)
     except Exception:
         ORACLE.pop("ann_topk_ivf", None)
+    try:
+        ORACLE["embedding_kmeans_stats"] = _kmeans_stats_sql(sf_dir)
+    except Exception:
+        ORACLE.pop("embedding_kmeans_stats", None)
 
 
+# ---------------------------------------------------------------------------
+# embedding_kmeans_stats: cluster sizes + inertia for the trained centroids
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_stats_sql(sf_dir: str) -> str:
+    centroids = ivf_centroids_for(sf_dir)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dists AS (
+      SELECT vec_id, v, u.cell AS cell, u.d AS d
+      FROM e, UNNEST({_centroid_structs('v', centroids)}) AS t(u)
+    ),
+    assigned AS (
+      SELECT cell,
+             CAST(floor(round(list_dot_product(v, v) + d, 4) * 10000)
+                  AS BIGINT) AS d2_e4
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d, cell) AS rn
+            FROM dists)
+      WHERE rn = 1
+    )
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(d2_e4) AS BIGINT) AS inertia_e4
+    FROM assigned GROUP BY cell
+    """
+
+
+def _embedding_kmeans_stats(spark, sf_dir):
+    """K-means diagnostics over the IVF centroids: per-cluster size and
+    inertia (sum of squared L2 distance to the assigned centroid).
+
+    Assignment is the same narrow per-row ``array_min(struct(d, cell))``
+    scan as IVF — 1e9 vectors assign without a shuffle; the only exchange
+    is the 16-row cluster aggregate. Inertia sums in exact integer 1e-4
+    units: |v|^2 comes from the same ordered fold both engines replay, the
+    centroid terms are rounded literals, so the per-row value is one
+    identical double -> floor, and the BIGINT sum is order-free.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import _cell_dist, _dot
+    from .queries import _t
+
+    centroids = ivf_centroids_for(sf_dir)
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    st = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _cell_dist(F.col("v"), c).alias("d"), F.lit(j).alias("cell")
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+    assigned = e.select("v", st.alias("st")).select(
+        F.col("st.cell").alias("cell"),
+        F.floor(F.round(_dot(F.col("v"), F.col("v")) + F.col("st.d"), 4) * 10000)
+        .cast("bigint")
+        .alias("d2_e4"),
+    )
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("d2_e4").cast("bigint").alias("inertia_e4"),
+    )
+
+
+def _register_kmeans_query() -> None:
+    from .queries import Q
+
+    Q["embedding_kmeans_stats"] = _embedding_kmeans_stats
+
+
+_register_kmeans_query()
 register_ivf_oracle()
