@@ -1,0 +1,80 @@
+"""Driver queries for the snapshot-versioned catalog (time travel /
+rollback). Reference analogue: the archive/prepare folder lifecycle
+(A8, dossier archiving in the reference pipeline) generalised to Iceberg's
+snapshot model — see sources/snapshots.py for the layout.
+
+``catalog_time_travel`` exercises the full commit -> overwrite -> rollback
+lifecycle against a scratch table and returns per-(snapshot, bucket) row
+counts. Every bucket assignment is the md5-based hash DuckDB replays, and
+the v2 overwrite keeps only even doc_ids in buckets 0-2, so all three
+snapshots' counts are plain SQL over the documents table — the oracle
+reconstructs history that, engine-side, comes from actually reading three
+different snapshots of one table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import _t, query
+
+_TT_BUCKETS = 8
+_TT_OVERWRITE = (0, 1, 2)
+
+_TT_SQL = f"""
+    WITH b AS (
+      SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {_TT_BUCKETS}) AS bucket,
+             doc_id
+      FROM documents
+    ),
+    v1 AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+    v2 AS (SELECT bucket, count(*) AS n FROM b
+           WHERE bucket NOT IN {_TT_OVERWRITE} OR doc_id % 2 = 0
+           GROUP BY bucket)
+    SELECT CAST(1 AS BIGINT) AS snapshot_id, bucket, CAST(n AS BIGINT) AS n_rows
+    FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), bucket, CAST(n AS BIGINT) FROM v2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), bucket, CAST(n AS BIGINT) FROM v1
+"""
+
+
+@query("catalog_time_travel", _TT_SQL)
+def catalog_time_travel(spark, sf_dir):
+    """Commit v1 (all docs), overwrite buckets 0-2 with only even doc_ids
+    (v2), roll back to v1 (v3) — then read ALL THREE snapshots of the same
+    table and report per-bucket counts. v3 == v1 proves rollback restores
+    the exact pre-overwrite file set."""
+    import tempfile
+
+    from .sources.catalog import BUCKET_COL, with_bucket
+    from .sources.snapshots import SnapshotCatalog
+
+    docs = with_bucket(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        _TT_BUCKETS,
+    )
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="kg_snapshots_"))
+    cat.commit(docs, "docs")
+    cat.commit(
+        docs.filter(
+            F.col(BUCKET_COL).isin(*_TT_OVERWRITE) & (F.col("doc_id") % 2 == 0)
+        ),
+        "docs",
+    )
+    cat.rollback("docs", 1)
+    per_snap = []
+    for sid in (1, 2, 3):
+        per_snap.append(
+            cat.read(spark, "docs", snapshot_id=sid)
+            .groupBy(F.col(BUCKET_COL).cast("bigint").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(sid).cast("bigint").alias("snapshot_id"), "bucket", "n_rows")
+        )
+    out = per_snap[0]
+    for df in per_snap[1:]:
+        out = out.unionByName(df)
+    return out

@@ -1,0 +1,189 @@
+"""Snapshot-versioned table layout: Iceberg's commit model on plain parquet.
+
+The production target is Iceberg (north_rule); its runtime jar is not
+available offline, so this implements the part of the spec the engine
+actually depends on — an append-only snapshot log over immutable data
+files — with the same operations: atomic-ish commits, time travel
+(``read(snapshot_id=...)`` / ``read(as_of=...)``), rollback, and snapshot
+expiry (``expire`` = Iceberg's ``expire_snapshots`` + orphan-file cleanup).
+
+Layout::
+
+    {root}/{table}/_commit=c000001/_bucket=0/part-*.parquet  # immutable commits
+    {root}/{table}/_commit=c000002/_bucket=3/...
+    {root}/{table}.snapshots.jsonl                           # the snapshot log
+
+Commit dirs are spelled as a ``_commit=`` partition layer so a multi-commit
+read under one ``basePath`` passes Spark's partition discovery (and the
+commit id arrives as a free partition column, dropped on read).
+
+Each commit writes ONLY its own fresh ``c{id}`` directory — existing files
+are never touched — and then appends one log line holding the full
+bucket -> commit-dir mapping (Iceberg's manifest list, flattened: bucket
+partitions make the mapping small enough to inline). The log append is the
+commit point: a crash before it leaves an orphan data dir that a later
+``expire`` removes, never a corrupt table. Readers resolve a snapshot to
+its mapping and load exactly those paths with ``basePath`` so ``_bucket``
+survives as a partition column — no directory listing of the whole table,
+so read cost is O(buckets referenced), not O(history).
+
+Scale notes: commits are O(new data) writes plus one O(buckets) log line;
+time travel is free at read time (path selection); expiry is pure
+filesystem metadata work. Nothing here ever rewrites history — exactly the
+property that makes Iceberg commits cheap at 100 TB.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import BUCKET_COL
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    # -- paths ---------------------------------------------------------------
+    def table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def log_path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.snapshots.jsonl")
+
+    # -- log -----------------------------------------------------------------
+    def snapshots(self, table: str) -> list[dict]:
+        path = self.log_path(table)
+        if not os.path.exists(path):
+            return []
+        with open(path, encoding="utf-8") as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def current(self, table: str) -> dict | None:
+        snaps = self.snapshots(table)
+        return snaps[-1] if snaps else None
+
+    def _append(self, table: str, row: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        with open(self.log_path(table), "a", encoding="utf-8") as f:
+            f.write(json.dumps(row) + "\n")
+
+    # -- write ----------------------------------------------------------------
+    def commit(self, df: DataFrame, table: str, op: str = "overwrite-buckets") -> dict:
+        """Write ``df`` (already carrying ``_bucket``) as a new immutable
+        commit directory, then publish a snapshot whose mapping is the
+        parent's with the written buckets repointed — dynamic-partition-
+        overwrite semantics, but the parent snapshot stays readable."""
+        parent = self.current(table)
+        sid = (parent["snapshot_id"] + 1) if parent else 1
+        cname = f"c{sid:06d}"
+        cdir = os.path.join(self.table_dir(table), f"_commit={cname}")
+        if os.path.isdir(cdir):  # leftover from a crashed, unpublished commit
+            shutil.rmtree(cdir)
+        buckets = [
+            r[0] for r in df.select(BUCKET_COL).distinct().collect()
+        ]
+        # one file per bucket dir regardless of task count (see
+        # catalog.write_buckets: N tasks x B dirs is a small-file storm)
+        df.repartition(max(len(buckets), 1), BUCKET_COL).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_COL).parquet(cdir)
+        written = sorted(
+            int(os.path.basename(p).split("=", 1)[1])
+            for p in glob.glob(os.path.join(cdir, f"{BUCKET_COL}=*"))
+        )
+        mapping = dict(parent["mapping"]) if parent else {}
+        for b in written:
+            mapping[str(b)] = cname
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "ts": time.time(),
+            "op": op,
+            "written_buckets": written,
+            "mapping": mapping,
+        }
+        self._append(table, snap)  # the commit point
+        return snap
+
+    # -- read ------------------------------------------------------------------
+    def _resolve(
+        self, table: str, snapshot_id: int | None = None, as_of: float | None = None
+    ) -> dict:
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots for table {table!r}")
+        if snapshot_id is not None:
+            for s in snaps:
+                if s["snapshot_id"] == snapshot_id:
+                    return s
+            raise KeyError(f"{table!r} has no snapshot {snapshot_id}")
+        if as_of is not None:
+            live = [s for s in snaps if s["ts"] <= as_of]
+            if not live:
+                raise KeyError(f"{table!r} has no snapshot at or before {as_of}")
+            return live[-1]
+        return snaps[-1]
+
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        snapshot_id: int | None = None,
+        as_of: float | None = None,
+    ) -> DataFrame:
+        snap = self._resolve(table, snapshot_id, as_of)
+        tdir = self.table_dir(table)
+        paths = [
+            os.path.join(tdir, f"_commit={commit}", f"{BUCKET_COL}={b}")
+            for b, commit in sorted(snap["mapping"].items(), key=lambda kv: int(kv[0]))
+        ]
+        if not paths:
+            raise FileNotFoundError(f"snapshot {snap['snapshot_id']} of {table!r} is empty")
+        return spark.read.option("basePath", tdir).parquet(*paths).drop("_commit")
+
+    # -- history operations ------------------------------------------------------
+    def rollback(self, table: str, snapshot_id: int) -> dict:
+        """Publish a NEW snapshot that restores an older mapping (Iceberg
+        ``rollback_to_snapshot``): history stays linear and append-only."""
+        target = self._resolve(table, snapshot_id=snapshot_id)
+        head = self.current(table)
+        snap = {
+            "snapshot_id": head["snapshot_id"] + 1,
+            "parent_id": head["snapshot_id"],
+            "ts": time.time(),
+            "op": f"rollback-to-{snapshot_id}",
+            "written_buckets": [],
+            "mapping": dict(target["mapping"]),
+        }
+        self._append(table, snap)
+        return snap
+
+    def expire(self, table: str, keep_last: int = 1) -> dict:
+        """Drop all but the last ``keep_last`` snapshots and delete commit
+        directories no retained snapshot references (expire_snapshots +
+        remove_orphan_files). The log is rewritten to a sibling file first
+        and swapped in, so a crash leaves either the old or the new log."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            return {"retained": 0, "removed_commits": 0}
+        retained = snaps[-keep_last:]
+        referenced = {c for s in retained for c in s["mapping"].values()}
+        tdir = self.table_dir(table)
+        removed = 0
+        for cdir in glob.glob(os.path.join(tdir, "_commit=c*")):
+            if os.path.basename(cdir).split("=", 1)[1] not in referenced:
+                shutil.rmtree(cdir)
+                removed += 1
+        tmp = self.log_path(table) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for s in retained:
+                f.write(json.dumps(s) + "\n")
+        os.replace(tmp, self.log_path(table))
+        return {"retained": len(retained), "removed_commits": removed}

@@ -1,0 +1,90 @@
+"""Snapshot catalog: time travel, rollback, expiry, crash safety."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from ner_spark.sources.catalog import BUCKET_COL, with_bucket
+from ner_spark.sources.snapshots import SnapshotCatalog
+
+
+def _bucketed(spark, n=40, buckets=4):
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    return with_bucket(df, "k", buckets)
+
+
+def _counts(df):
+    return {
+        int(r[0]): int(r[1])
+        for r in df.groupBy(BUCKET_COL).agg(F.count(F.lit(1))).collect()
+    }
+
+
+def test_commit_overwrite_and_time_travel(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    df = _bucketed(spark)
+    base = _counts(df)
+
+    s1 = cat.commit(df, "t")
+    assert s1["snapshot_id"] == 1 and s1["parent_id"] is None
+
+    # overwrite bucket 0 with a 1-row slice
+    b0 = df.filter(F.col(BUCKET_COL) == 0).limit(1)
+    s2 = cat.commit(b0, "t")
+    assert s2["written_buckets"] == [0] and s2["parent_id"] == 1
+
+    cur = _counts(cat.read(spark, "t"))
+    assert cur[0] == 1
+    assert all(cur[b] == base[b] for b in base if b != 0)
+
+    # snapshot 1 still reads the original bucket 0
+    old = _counts(cat.read(spark, "t", snapshot_id=1))
+    assert old == base
+
+    # as_of between the commits resolves to snapshot 1
+    as_of = (s1["ts"] + s2["ts"]) / 2
+    assert _counts(cat.read(spark, "t", as_of=as_of)) == base
+
+
+def test_rollback_restores_mapping_and_expire_drops_orphans(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    df = _bucketed(spark)
+    base = _counts(df)
+    cat.commit(df, "t")
+    cat.commit(df.filter(F.col(BUCKET_COL) == 1).limit(2), "t")
+    s3 = cat.rollback("t", 1)
+    assert s3["snapshot_id"] == 3 and s3["op"] == "rollback-to-1"
+    assert _counts(cat.read(spark, "t")) == base
+
+    # head (rollback) references only c000001 -> expire drops c000002
+    res = cat.expire("t", keep_last=1)
+    assert res["removed_commits"] == 1
+    assert _counts(cat.read(spark, "t")) == base
+    remaining = glob.glob(os.path.join(cat.table_dir("t"), "_commit=c*"))
+    assert [os.path.basename(p) for p in remaining] == ["_commit=c000001"]
+    # expired snapshots are gone from the log
+    assert [s["snapshot_id"] for s in cat.snapshots("t")] == [3]
+
+
+def test_unpublished_commit_dir_is_invisible_and_reclaimed(spark, tmp_path):
+    """A crash between the data write and the log append leaves an orphan
+    dir that readers never see and expire removes."""
+    cat = SnapshotCatalog(str(tmp_path))
+    df = _bucketed(spark)
+    base = _counts(df)
+    cat.commit(df, "t")
+    # simulate the crashed second commit: data written, log NOT appended
+    orphan = os.path.join(cat.table_dir("t"), "_commit=c000002")
+    df.filter(F.col(BUCKET_COL) == 2).write.partitionBy(BUCKET_COL).parquet(orphan)
+    assert _counts(cat.read(spark, "t")) == base  # reader ignores the orphan
+    res = cat.expire("t", keep_last=1)
+    assert res["removed_commits"] == 1 and not os.path.isdir(orphan)
+    # a retried commit reuses the id cleanly
+    s2 = cat.commit(df.filter(F.col(BUCKET_COL) == 2).limit(1), "t")
+    assert s2["snapshot_id"] == 2
+    assert _counts(cat.read(spark, "t"))[2] == 1
