@@ -75,11 +75,21 @@ class SnapshotCatalog:
             f.write(json.dumps(row) + "\n")
 
     # -- write ----------------------------------------------------------------
-    def commit(self, df: DataFrame, table: str, op: str = "overwrite-buckets") -> dict:
+    def commit(
+        self,
+        df: DataFrame,
+        table: str,
+        op: str = "overwrite-buckets",
+        batch_id: int | None = None,
+        mode: str = "overwrite",
+    ) -> dict:
         """Write ``df`` (already carrying ``_bucket``) as a new immutable
-        commit directory, then publish a snapshot whose mapping is the
-        parent's with the written buckets repointed — dynamic-partition-
-        overwrite semantics, but the parent snapshot stays readable."""
+        commit directory, then publish a snapshot whose mapping repoints
+        (``mode="overwrite"``, dynamic-partition-overwrite semantics) or
+        extends (``mode="append"``, streaming-ingest semantics) the written
+        buckets — the parent snapshot stays readable either way. The
+        mapping is bucket -> [commit dirs], Iceberg's manifest list keyed
+        by partition."""
         parent = self.current(table)
         sid = (parent["snapshot_id"] + 1) if parent else 1
         cname = f"c{sid:06d}"
@@ -98,9 +108,14 @@ class SnapshotCatalog:
             int(os.path.basename(p).split("=", 1)[1])
             for p in glob.glob(os.path.join(cdir, f"{BUCKET_COL}=*"))
         )
-        mapping = dict(parent["mapping"]) if parent else {}
+        mapping = (
+            {b: list(c) for b, c in parent["mapping"].items()} if parent else {}
+        )
         for b in written:
-            mapping[str(b)] = cname
+            if mode == "append":
+                mapping.setdefault(str(b), []).append(cname)
+            else:
+                mapping[str(b)] = [cname]
         snap = {
             "snapshot_id": sid,
             "parent_id": parent["snapshot_id"] if parent else None,
@@ -109,8 +124,15 @@ class SnapshotCatalog:
             "written_buckets": written,
             "mapping": mapping,
         }
+        if batch_id is not None:
+            snap["batch_id"] = int(batch_id)
         self._append(table, snap)  # the commit point
         return snap
+
+    def committed_batches(self, table: str) -> set[int]:
+        return {
+            s["batch_id"] for s in self.snapshots(table) if "batch_id" in s
+        }
 
     # -- read ------------------------------------------------------------------
     def _resolve(
@@ -142,7 +164,8 @@ class SnapshotCatalog:
         tdir = self.table_dir(table)
         paths = [
             os.path.join(tdir, f"_commit={commit}", f"{BUCKET_COL}={b}")
-            for b, commit in sorted(snap["mapping"].items(), key=lambda kv: int(kv[0]))
+            for b, commits in sorted(snap["mapping"].items(), key=lambda kv: int(kv[0]))
+            for commit in commits
         ]
         if not paths:
             raise FileNotFoundError(f"snapshot {snap['snapshot_id']} of {table!r} is empty")
@@ -160,7 +183,7 @@ class SnapshotCatalog:
             "ts": time.time(),
             "op": f"rollback-to-{snapshot_id}",
             "written_buckets": [],
-            "mapping": dict(target["mapping"]),
+            "mapping": {b: list(c) for b, c in target["mapping"].items()},
         }
         self._append(table, snap)
         return snap
@@ -174,7 +197,9 @@ class SnapshotCatalog:
         if not snaps:
             return {"retained": 0, "removed_commits": 0}
         retained = snaps[-keep_last:]
-        referenced = {c for s in retained for c in s["mapping"].values()}
+        referenced = {
+            c for s in retained for commits in s["mapping"].values() for c in commits
+        }
         tdir = self.table_dir(table)
         removed = 0
         for cdir in glob.glob(os.path.join(tdir, "_commit=c*")):
@@ -187,3 +212,31 @@ class SnapshotCatalog:
                 f.write(json.dumps(s) + "\n")
         os.replace(tmp, self.log_path(table))
         return {"retained": len(retained), "removed_commits": removed}
+
+
+def snapshot_sink(cat: SnapshotCatalog, table: str, key: str, n_buckets: int):
+    """``foreachBatch`` sink with exactly-once table state.
+
+    Structured Streaming's foreachBatch is at-least-once: after a crash the
+    last micro-batch replays with the SAME batch_id. The sink makes the
+    replay a no-op by consulting the snapshot log — batch_id is recorded in
+    the published snapshot, and the log append IS the commit point, so a
+    crash anywhere before it leaves only an orphan data dir (cleaned by
+    ``expire``), and a crash after it makes the replay skip. Combined with
+    the immutable commit dirs this is the idempotent-sink half of
+    end-to-end exactly-once (the source half is the stream checkpoint).
+    """
+    from .catalog import with_bucket
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in cat.committed_batches(table):
+            return  # replayed micro-batch after restart — already published
+        cat.commit(
+            with_bucket(df, key, n_buckets),
+            table,
+            op=f"stream-batch-{batch_id}",
+            batch_id=int(batch_id),
+            mode="append",
+        )
+
+    return write_batch

@@ -88,3 +88,45 @@ def test_unpublished_commit_dir_is_invisible_and_reclaimed(spark, tmp_path):
     s2 = cat.commit(df.filter(F.col(BUCKET_COL) == 2).limit(1), "t")
     assert s2["snapshot_id"] == 2
     assert _counts(cat.read(spark, "t"))[2] == 1
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
+    """File stream -> foreachBatch -> snapshot commits: one snapshot per
+    micro-batch, replayed batch ids are no-ops, final table == input."""
+    from ner_spark.sources.snapshots import snapshot_sink
+
+    src = tmp_path / "in"
+    for chunk in range(2):
+        spark.range(chunk * 20, chunk * 20 + 20).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        ).coalesce(1).write.parquet(str(src / f"chunk={chunk}"))
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    sink = snapshot_sink(cat, "t", key="k", n_buckets=4)
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    snaps = cat.snapshots("t")
+    assert len(snaps) == 2  # one micro-batch per file
+    assert cat.committed_batches("t") == {0, 1}
+    got = {
+        (int(r["k"]), int(r["v"]))
+        for r in cat.read(spark, "t").select("k", "v").collect()
+    }
+    assert got == {(i, i * 7) for i in range(40)}
+
+    # a post-crash replay of the last micro-batch must not double-publish
+    last_batch = spark.read.parquet(str(src / "chunk=1"))
+    sink(last_batch, 1)
+    assert len(cat.snapshots("t")) == 2
+    assert len(cat.read(spark, "t").collect()) == 40
