@@ -459,3 +459,99 @@ def tpch_q22_dormant(spark, sf_dir):
             F.sum("cents").cast("bigint").alias("totacctbal_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tpch_q10: returned-item revenue per customer (big-key aggregate + dims)
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18, 6))
+                          * CAST(1 - l.l_discount AS DECIMAL(9, 6))), 2)
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+"""
+
+
+@query("tpch_q10", _Q10_SQL)
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10: revenue lost to returns per customer in one quarter.
+    The returnflag + date filters prune both fact scans BEFORE the one
+    fact-fact exchange; customer/nation broadcast onto the aggregate's
+    output side (aggregate first on o_custkey, then decorate with dims —
+    the wide c_name column never rides through the big shuffle)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+    )
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue", "n_items")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_grouping_sets: arbitrary grouping-set lists (not a CUBE/ROLLUP)
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = """
+    SELECT coalesce(o_orderstatus, '(all)') AS status_g,
+           coalesce(o_orderpriority, '(all)') AS prio_g,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18, 4))) AS DOUBLE), 2)
+             AS total_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("orders_grouping_sets", _GSETS_SQL)
+def orders_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the per-status and per-priority marginals
+    plus the grand total WITHOUT the (status, priority) cross cells a CUBE
+    would compute: one aggregate pass materialises exactly the sets asked
+    for (the expand operator emits 3 rows per input, not 4)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status_g"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("prio_g"),
+            "total_price",
+            "n_orders",
+        )
+    )
