@@ -1071,3 +1071,63 @@ def kg_training_examples(spark, sf_dir):
         F.expr("substring(text, int(pos + length(NE)), 30)").alias("ctx_right"),
         F.when(bucket < 8, "train").when(bucket == 8, "dev").otherwise("test").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S5 pre-flight: blocking-key skew audit for the linking join. Before a
+# 100 TB linking run you audit the block-size distribution — a single hot
+# normalized surface ("the", an empty string, a boilerplate token) can put
+# the whole join on one reducer. This computes, per block, both sides'
+# cardinalities and the exact join fanout from aggregates only (never by
+# materialising the join), which is how the audit stays O(distinct keys)
+# at any corpus size. The AQE skew-split in the real linking join
+# (tests/test_plans.py) is the mitigation; this is the detector.
+# ---------------------------------------------------------------------------
+
+_SKEW_HOT_ROWS = 6
+
+
+@query(
+    "kg_linking_skew_audit",
+    f"""
+    WITH {_LM_SQL},
+    gaz(entity_id, alias, glabel, weight) AS (VALUES {_GAZ_SQL}),
+    m AS (SELECT NE AS block, count(*) AS n_mentions FROM lm GROUP BY NE),
+    g AS (SELECT alias AS block, count(*) AS n_aliases FROM gaz GROUP BY alias)
+    SELECT m.block,
+           CAST(m.n_mentions AS BIGINT) AS n_mentions,
+           CAST(coalesce(g.n_aliases, 0) AS BIGINT) AS n_aliases,
+           CAST(m.n_mentions * greatest(coalesce(g.n_aliases, 0), 1)
+                AS BIGINT) AS join_out_rows,
+           (m.n_mentions * greatest(coalesce(g.n_aliases, 0), 1)
+            > {_SKEW_HOT_ROWS}) AS is_hot
+    FROM m LEFT JOIN g ON g.block = m.block
+    """,
+)
+def kg_linking_skew_audit(spark, sf_dir):
+    """Join-fanout audit per blocking key: probe-side and build-side
+    cardinalities and the exact LEFT-join output rows, from two aggregates
+    and a broadcast join of the (tiny) per-key count relations."""
+    from . import schemas
+
+    lm = _labeled_mentions(spark, sf_dir)
+    m = lm.groupBy(F.col("NE").alias("block")).agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+    gaz = spark.createDataFrame(_GAZ_ROWS, schema=schemas.GAZETTEER)
+    g = gaz.groupBy(F.col("alias").alias("gblock")).agg(
+        F.count(F.lit(1)).alias("n_aliases")
+    )
+    out_rows = F.col("n_mentions") * F.greatest(
+        F.coalesce("n_aliases", F.lit(0)), F.lit(1)
+    )
+    return (
+        m.join(F.broadcast(g), m.block == g.gblock, "left")
+        .select(
+            "block",
+            F.col("n_mentions").cast("bigint").alias("n_mentions"),
+            F.coalesce("n_aliases", F.lit(0)).cast("bigint").alias("n_aliases"),
+            out_rows.cast("bigint").alias("join_out_rows"),
+            (out_rows > _SKEW_HOT_ROWS).alias("is_hot"),
+        )
+    )
