@@ -188,6 +188,44 @@ class SnapshotCatalog:
         self._append(table, snap)
         return snap
 
+    def changed_buckets(
+        self, table: str, from_snapshot: int, to_snapshot: int | None = None
+    ) -> list[int]:
+        """Buckets whose file set differs between two snapshots — the unit
+        of incremental recomputation: a downstream stage re-reads ONLY
+        these buckets and leaves the rest of its own output untouched
+        (the Runner's per-bucket overwrite makes that sound). O(buckets)
+        metadata work, no data scan."""
+        a = self._resolve(table, snapshot_id=from_snapshot)["mapping"]
+        b = self._resolve(table, snapshot_id=to_snapshot)["mapping"]
+        return sorted(
+            int(k)
+            for k in set(a) | set(b)
+            if a.get(k) != b.get(k)
+        )
+
+    def read_buckets(
+        self,
+        spark: SparkSession,
+        table: str,
+        buckets: list[int],
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Read only ``buckets`` of a snapshot — path selection, so an
+        incremental stage's input cost is O(changed data)."""
+        snap = self._resolve(table, snapshot_id)
+        tdir = self.table_dir(table)
+        want = {str(b) for b in buckets}
+        paths = [
+            os.path.join(tdir, f"_commit={commit}", f"{BUCKET_COL}={b}")
+            for b, commits in snap["mapping"].items()
+            if b in want
+            for commit in commits
+        ]
+        if not paths:
+            raise FileNotFoundError(f"{table!r}: none of {sorted(want)} in snapshot")
+        return spark.read.option("basePath", tdir).parquet(*paths).drop("_commit")
+
     def expire(self, table: str, keep_last: int = 1) -> dict:
         """Drop all but the last ``keep_last`` snapshots and delete commit
         directories no retained snapshot references (expire_snapshots +

@@ -130,3 +130,34 @@ def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
     sink(last_batch, 1)
     assert len(cat.snapshots("t")) == 2
     assert len(cat.read(spark, "t").collect()) == 40
+
+
+def test_incremental_recompute_only_changed_buckets(spark, tmp_path):
+    """Snapshot diff drives incremental recomputation: after an overwrite
+    touching one bucket, the downstream stage re-reads exactly that bucket
+    and its recomputed output matches a full recompute."""
+    cat = SnapshotCatalog(str(tmp_path))
+    df = _bucketed(spark, n=40, buckets=4)
+    cat.commit(df, "t")
+    # overwrite bucket 2 with doubled values
+    v2 = df.filter(F.col(BUCKET_COL) == 2).withColumn("v", F.col("v") * 2)
+    cat.commit(v2, "t")
+
+    changed = cat.changed_buckets("t", 1, 2)
+    assert changed == [2]
+
+    def stage(d):  # the downstream transform: per-bucket sum
+        return d.groupBy(BUCKET_COL).agg(F.sum("v").alias("sv"))
+
+    # full recompute at snapshot 2 (the reference)
+    full = {int(r[0]): int(r[1]) for r in stage(cat.read(spark, "t")).collect()}
+    # incremental: stage over ONLY the changed bucket, merged with the
+    # snapshot-1 outputs of the unchanged buckets
+    old = {int(r[0]): int(r[1]) for r in stage(cat.read(spark, "t", snapshot_id=1)).collect()}
+    inc_part = {
+        int(r[0]): int(r[1])
+        for r in stage(cat.read_buckets(spark, "t", changed)).collect()
+    }
+    merged = {**old, **inc_part}
+    assert merged == full
+    assert set(inc_part) == {2}
