@@ -42,6 +42,7 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog import BUCKET_COL
 
@@ -126,6 +127,13 @@ class SnapshotCatalog:
         }
         if batch_id is not None:
             snap["batch_id"] = int(batch_id)
+        if parent and parent.get("delete_files"):
+            # global equality tombstones ride forward (no Iceberg sequence
+            # numbers: a deleted key stays masked — even in later commits —
+            # until a compaction folds the tombstones in; documented
+            # simplification)
+            snap["delete_key"] = parent["delete_key"]
+            snap["delete_files"] = list(parent["delete_files"])
         self._append(table, snap)  # the commit point
         return snap
 
@@ -169,7 +177,20 @@ class SnapshotCatalog:
         ]
         if not paths:
             raise FileNotFoundError(f"snapshot {snap['snapshot_id']} of {table!r} is empty")
-        return spark.read.option("basePath", tdir).parquet(*paths).drop("_commit")
+        df = spark.read.option("basePath", tdir).parquet(*paths).drop("_commit")
+        return self._apply_deletes(spark, table, snap, df)
+
+    def _apply_deletes(
+        self, spark: SparkSession, table: str, snap: dict, df: DataFrame
+    ) -> DataFrame:
+        dfiles = snap.get("delete_files", [])
+        if not dfiles:
+            return df
+        ddirs = [
+            os.path.join(self.table_dir(table), "_deletes", c) for c in dfiles
+        ]
+        keys = spark.read.parquet(*ddirs)
+        return df.join(F.broadcast(keys), on=snap["delete_key"], how="left_anti")
 
     # -- history operations ------------------------------------------------------
     def rollback(self, table: str, snapshot_id: int) -> dict:
@@ -184,6 +205,39 @@ class SnapshotCatalog:
             "op": f"rollback-to-{snapshot_id}",
             "written_buckets": [],
             "mapping": {b: list(c) for b, c in target["mapping"].items()},
+        }
+        self._append(table, snap)
+        return snap
+
+    def commit_deletes(self, keys: DataFrame, table: str, key: str) -> dict:
+        """Merge-on-read equality deletes (Iceberg v2 semantics): publish a
+        snapshot whose delete set grows by ``keys`` WITHOUT rewriting any
+        data file. The keys parquet is tiny (one column); readers apply it
+        as a broadcast anti-join, so a delete of k rows costs O(k) write +
+        O(scan) read overhead until a compaction folds it in — the only
+        delete strategy that stays O(change) at 100 TB. Deletes compose
+        with time travel: a snapshot before the delete still reads the
+        rows."""
+        parent = self.current(table)
+        if parent is None:
+            raise FileNotFoundError(f"no snapshots for table {table!r}")
+        sid = parent["snapshot_id"] + 1
+        cname = f"c{sid:06d}"
+        ddir = os.path.join(self.table_dir(table), "_deletes", cname)
+        if os.path.isdir(ddir):
+            shutil.rmtree(ddir)
+        keys.select(key).coalesce(1).write.mode("overwrite").parquet(ddir)
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": parent["snapshot_id"],
+            "ts": time.time(),
+            "op": "delete",
+            "written_buckets": [],
+            "mapping": {b: list(c) for b, c in parent["mapping"].items()},
+            "delete_key": key,
+            "delete_files": sorted(
+                parent.get("delete_files", []) + [cname]
+            ),
         }
         self._append(table, snap)
         return snap
@@ -224,7 +278,8 @@ class SnapshotCatalog:
         ]
         if not paths:
             raise FileNotFoundError(f"{table!r}: none of {sorted(want)} in snapshot")
-        return spark.read.option("basePath", tdir).parquet(*paths).drop("_commit")
+        df = spark.read.option("basePath", tdir).parquet(*paths).drop("_commit")
+        return self._apply_deletes(spark, table, snap, df)
 
     def expire(self, table: str, keep_last: int = 1) -> dict:
         """Drop all but the last ``keep_last`` snapshots and delete commit
@@ -243,6 +298,13 @@ class SnapshotCatalog:
         for cdir in glob.glob(os.path.join(tdir, "_commit=c*")):
             if os.path.basename(cdir).split("=", 1)[1] not in referenced:
                 shutil.rmtree(cdir)
+                removed += 1
+        live_deletes = {
+            c for s in retained for c in s.get("delete_files", [])
+        }
+        for ddir in glob.glob(os.path.join(tdir, "_deletes", "c*")):
+            if os.path.basename(ddir) not in live_deletes:
+                shutil.rmtree(ddir)
                 removed += 1
         tmp = self.log_path(table) + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:

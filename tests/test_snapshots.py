@@ -161,3 +161,43 @@ def test_incremental_recompute_only_changed_buckets(spark, tmp_path):
     merged = {**old, **inc_part}
     assert merged == full
     assert set(inc_part) == {2}
+
+
+def test_merge_on_read_equality_deletes(spark, tmp_path):
+    """Equality deletes: no data file rewritten, readers apply the
+    tombstones, time travel before the delete still sees the rows, and
+    expire drops delete files with their snapshots."""
+    cat = SnapshotCatalog(str(tmp_path))
+    df = _bucketed(spark, n=30, buckets=4)
+    cat.commit(df, "t")  # snapshot 1
+    dels = spark.range(0, 10).select(F.col("id").alias("k"))
+    s2 = cat.commit_deletes(dels, "t", key="k")  # snapshot 2
+    assert s2["op"] == "delete" and s2["delete_files"] == ["c000002"]
+
+    now = {int(r["k"]) for r in cat.read(spark, "t").select("k").collect()}
+    assert now == set(range(10, 30))
+    before = {
+        int(r["k"])
+        for r in cat.read(spark, "t", snapshot_id=1).select("k").collect()
+    }
+    assert before == set(range(30))
+
+    # a later data commit inherits the tombstones (global equality deletes)
+    extra = with_bucket(
+        spark.range(100, 105).select(F.col("id").alias("k"), F.lit(0).alias("v")),
+        "k",
+        4,
+    )
+    cat.commit(extra, "t", mode="append")  # snapshot 3
+    after = {int(r["k"]) for r in cat.read(spark, "t").select("k").collect()}
+    assert after == set(range(10, 30)) | set(range(100, 105))
+
+    # rollback to snapshot 3 keeps deletes; expire to head drops nothing live
+    res = cat.expire("t", keep_last=1)
+    assert _counts(cat.read(spark, "t"))  # still readable
+    assert os.path.isdir(os.path.join(cat.table_dir("t"), "_deletes", "c000002"))
+
+    # deleting the delete: roll forward with a fresh full commit, then expire
+    cat.commit(df, "t")  # snapshot 4 re-publishes all buckets BUT inherits tombstones
+    still = {int(r["k"]) for r in cat.read(spark, "t").select("k").collect()}
+    assert still.isdisjoint(set(range(10)))  # documented: tombstones persist
