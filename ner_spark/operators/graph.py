@@ -81,6 +81,63 @@ def pagerank_fixedpoint(
     return rank
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Synchronous weighted mode-label propagation (community detection).
+
+    Labels start as the node's own id; each round every node adopts the
+    label carrying the highest incident edge weight among its neighbors'
+    current labels, ties broken to the lexicographically smallest label —
+    fully deterministic, so the unrolled rounds replay in ANSI SQL. The
+    directed input is symmetrized (u->v and v->u, weights summed) and
+    self-loops dropped.
+
+    Scale shape per round: one shuffle on (node, label) for the weighted
+    vote (map-side combinable) + a per-node argmax window (partitioned by
+    node — never a global sort). The symmetrized edge list feeds every
+    round, hence the explicit barrier (multi-consumer pattern as in
+    pagerank_fixedpoint).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    d = (
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    e = (
+        d.unionByName(d.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = e.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    rk = Window.partitionBy("node").orderBy(F.desc("wsum"), F.asc("label"))
+    for _ in range(rounds):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        labels = (
+            votes.withColumn("__rk", F.row_number().over(rk))
+            .filter(F.col("__rk") == 1)
+            .select("node", "label")
+        )
+    return labels
+
+
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle participation counts over an undirected graph.
 

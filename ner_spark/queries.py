@@ -830,6 +830,7 @@ from . import queries_relops3  # noqa: E402,F401
 from . import queries_relops4  # noqa: E402,F401
 from . import queries_textmine2  # noqa: E402,F401
 from . import queries_catalog  # noqa: E402,F401
+from . import queries_ir  # noqa: E402,F401
 
 
 _FAKE_DECODE_SQL = """

@@ -37,6 +37,8 @@ SCALAR_NLJ_OK = {
     "tfidf_topk",
     "mix_temperature_weights",
     "doc_lm_surprisal",
+    # two 1-row corpus totals (N_uni, N_bi) attached to the scored bigrams
+    "collocation_pmi",
     # 1-row sketch frame x 1-row exact frame (both pre-aggregated)
     "sketch_kmv_setops",
     # global average-balance scalar (1 pre-aggregated row) attached to
