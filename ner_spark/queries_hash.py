@@ -306,6 +306,13 @@ def register_ivf_oracle(sf_dir: str = "/root/testdata/sf0.01") -> None:
         ORACLE["embedding_kmeans_stats"] = _kmeans_stats_sql(sf_dir)
     except Exception:
         ORACLE.pop("embedding_kmeans_stats", None)
+    try:
+        # defined below the module-load call site — present on re-calls
+        # (driver_sim per-sf_dir regeneration); the first registration
+        # happens in _register_ivfpq() at the bottom of this module
+        ORACLE["ann_topk_ivfpq"] = _ivfpq_sql(sf_dir)
+    except Exception:
+        ORACLE.pop("ann_topk_ivfpq", None)
 
 
 # ---------------------------------------------------------------------------
@@ -386,3 +393,158 @@ def _register_kmeans_query() -> None:
 
 _register_kmeans_query()
 register_ivf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ann_topk_ivfpq: IVF coarse pruning + product-quantization ADC ranking
+# (FAISS's IVFADC layout). Codebooks train per 16-dim subspace through the
+# same seeded numpy k-means as IVF, so the generated SQL inlines
+# bit-identical literals: DuckDB replays coarse assignment, PQ encoding,
+# the per-query ADC lookup tables, and the ranked join end-to-end.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # codebook entries per subspace
+PQ_ITERS = 8
+PQ_SEED = 77
+
+_pq_cache: dict[str, list[list[list[float]]]] = {}
+
+
+def pq_codebooks_for(sf_dir: str) -> list[list[list[float]]]:
+    """Per-subspace codebooks for ``{sf_dir}/embeddings.parquet`` — the
+    same IVF_SAMPLE sample as the coarse trainer, split into PQ_M
+    contiguous slices, each through the shared seeded k-means."""
+    if sf_dir not in _pq_cache:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from .operators.similarity import kmeans_centroids
+
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        order = np.argsort(t["vec_id"].to_numpy(), kind="stable")[:IVF_SAMPLE]
+        X = np.array(
+            [t["embedding"][int(i)].as_py() for i in order], dtype=np.float64
+        )
+        d = X.shape[1] // PQ_M
+        _pq_cache[sf_dir] = [
+            kmeans_centroids(X[:, m * d : (m + 1) * d], PQ_K, PQ_ITERS, PQ_SEED + m)
+            for m in range(PQ_M)
+        ]
+    return _pq_cache[sf_dir]
+
+
+def _pq_sub(vec: str, m: int, sub_dim: int) -> str:
+    return f"{vec}[{m * sub_dim + 1}:{(m + 1) * sub_dim}]"
+
+
+def _pq_code_expr(vec: str, book: list[list[float]], m: int, sub_dim: int) -> str:
+    """argmin over the codebook as list_sort([{d, j}, ...])[1].j — the same
+    rounded distance + index tie-break as the engine's pq_code."""
+    items = []
+    for j, c in enumerate(book):
+        c2 = repr(sum(x * x for x in c))
+        items.append(
+            f"struct_pack(d := round({c2} - 2.0 * "
+            f"list_dot_product({_pq_sub(vec, m, sub_dim)}, {_plane_lit(c)}), 6), "
+            f"j := {j})"
+        )
+    return "(list_sort([" + ",\n          ".join(items) + "])[1]).j"
+
+
+def _pq_lut_expr(vec: str, book: list[list[float]], m: int, sub_dim: int) -> str:
+    items = []
+    for c in book:
+        c2 = repr(sum(x * x for x in c))
+        items.append(
+            f"round({c2} - 2.0 * "
+            f"list_dot_product({_pq_sub(vec, m, sub_dim)}, {_plane_lit(c)}), 6)"
+        )
+    return "[" + ",\n          ".join(items) + "]"
+
+
+def _ivfpq_sql(sf_dir: str, k: int = 5) -> str:
+    centroids = ivf_centroids_for(sf_dir)
+    books = pq_codebooks_for(sf_dir)
+    sub_dim = len(books[0][0])
+    code_cols = ",\n             ".join(
+        f"{_pq_code_expr('v', books[m], m, sub_dim)} AS code_{m}"
+        for m in range(PQ_M)
+    )
+    lut_cols = ",\n             ".join(
+        f"{_pq_lut_expr('v', books[m], m, sub_dim)} AS lut_{m}"
+        for m in range(PQ_M)
+    )
+    adc = " + ".join(f"q.lut_{m}[c.code_{m} + 1]" for m in range(PQ_M))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cdists AS (
+      SELECT vec_id, v, u.cell AS cell, u.d AS d
+      FROM e, UNNEST({_centroid_structs('v', centroids)}) AS t(u)
+    ),
+    coded AS (
+      SELECT vec_id AS nb_id, cell,
+             {code_cols}
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM cdists
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT vec_id AS q_id, cell,
+             {lut_cols}
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM cdists WHERE vec_id % 40 = 0
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT q.q_id, c.nb_id, round({adc}, 4) AS adc
+      FROM probed q JOIN coded c USING (cell)
+      WHERE q.q_id <> c.nb_id
+    ),
+    ranked AS (
+      SELECT q_id, nb_id, adc,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc ASC, nb_id ASC) AS rank
+      FROM scored
+    )
+    SELECT q_id, nb_id, adc, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def _ann_topk_ivfpq(spark, sf_dir):
+    """IVF+PQ ANN (IVFADC): coarse cells prune candidates, PQ codes rank
+    them — the database side carries 4 small code ints per vector instead
+    of the 64-double embedding (see operators/similarity.ivfpq_topk for
+    the scale story)."""
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import ivfpq_topk
+    from .queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") % 40 == 0),
+        ivf_centroids_for(sf_dir),
+        pq_codebooks_for(sf_dir),
+        k=5,
+        nprobe=IVF_NPROBE,
+    )
+
+
+def _register_ivfpq() -> None:
+    from .queries import Q
+
+    Q["ann_topk_ivfpq"] = _ann_topk_ivfpq
+    try:
+        ORACLE["ann_topk_ivfpq"] = _ivfpq_sql("/root/testdata/sf0.01")
+    except Exception:
+        ORACLE.pop("ann_topk_ivfpq", None)
+
+
+_register_ivfpq()

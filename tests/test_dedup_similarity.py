@@ -266,3 +266,39 @@ def test_ivf_topk_full_probe_exact_and_partial_probe(spark, vectors):
         ).collect()
     }
     assert (0, 999) in near
+
+
+def test_ivfpq_topk(spark, vectors):
+    """IVF+PQ (ADC) structure + retrieval regression: ranks are dense 1..k
+    per query, the planted near-identical vector is ADC top-1 for its
+    query, and recall@5 vs exact L2 clears a floor calibrated for this
+    deliberately tiny code (M=4 subspaces x 8 entries = 12 bits on random
+    Gaussians — the hardest PQ case; production codes are 64+ bits and the
+    driver hash-checks exact cross-engine determinism separately)."""
+    import numpy as np
+
+    rows = vectors.orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows])
+    coarse = S.kmeans_centroids(X, 8, 8, 42)
+    books = [S.kmeans_centroids(X[:, m * 4 : (m + 1) * 4], 8, 8, 77 + m) for m in range(4)]
+    queries = vectors.filter(F.col("vec_id") < 10)
+    got = S.ivfpq_topk(vectors, queries, coarse, books, k=5, nprobe=3).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    top1 = {r["q_id"]: r["nb_id"] for r in got if r["rank"] == 1}
+    assert top1[0] == 999  # planted near-identical vector wins ADC
+    exact = set()
+    for q in range(10):
+        qv = X[ids.index(q)]
+        d = sorted(
+            (float(((X[i] - qv) ** 2).sum()), ids[i])
+            for i in range(len(ids))
+            if ids[i] != q
+        )
+        exact.update((q, nb) for _, nb in d[:5])
+    approx = {(r["q_id"], r["nb_id"]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, recall
