@@ -88,30 +88,42 @@ def band_planes(
     return [hyperplanes(dim, planes_per_band, seed + 1000 * b) for b in range(bands)]
 
 
-def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: bit j = sign(v . plane_j)."""
-    bits = [
-        (_dot(vec_col, F.array(*[F.lit(x) for x in p])) > 0).cast("int") for p in planes
-    ]
-    sig = F.lit(0)
-    for j, b in enumerate(bits):
-        sig = sig + (b * F.lit(1 << j))
-    return sig
-
-
-def banded_buckets(vec_col: Column, plane_sets: list[list[list[float]]]) -> Column:
-    """array<struct<band,bucket>> — one bucket id per band."""
-    return F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), lsh_signature(vec_col, planes).alias("bucket"))
-            for b, planes in enumerate(plane_sets)
-        ]
+def _dot_sql(vec_sql: str, plane: list[float]) -> str:
+    """String-SQL twin of ``_dot`` against a literal vector (same ordered
+    zip_with fold) — one parser call instead of a py4j round-trip per
+    literal/lambda; see ``_cell_dist_sql`` for the measured rationale."""
+    arr = "array(" + ", ".join(f"{x!r}D" for x in plane) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y),"
+        f" 0.0D, (acc, v) -> acc + v)"
     )
+
+
+def lsh_signature(vec_col: str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit j = sign(v . plane_j)."""
+    return F.expr(_lsh_signature_sql(vec_col, planes))
+
+
+def _lsh_signature_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_sql(vec_sql, p)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"({terms})"
+
+
+def banded_buckets(vec_col: str, plane_sets: list[list[list[float]]]) -> Column:
+    """array<struct<band,bucket>> — one bucket id per band."""
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', {_lsh_signature_sql(vec_col, planes)})"
+        for b, planes in enumerate(plane_sets)
+    )
+    return F.expr(f"array({structs})")
 
 
 def _explode_bands(df: DataFrame, vec_col: str, plane_sets) -> DataFrame:
     return df.select(
-        "*", F.explode(banded_buckets(F.col(vec_col), plane_sets)).alias("_bb")
+        "*", F.explode(banded_buckets(vec_col, plane_sets)).alias("_bb")
     ).select("*", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket")).drop("_bb")
 
 
@@ -226,21 +238,23 @@ def _cell_dist(vec: Column, centroid: list[float]) -> Column:
     return F.round(F.lit(c2) - 2.0 * _dot(vec, c), 6)
 
 
-def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+def _cell_structs_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    """array(struct(d, cell)) of rounded rank-equivalent distances to every
+    centroid — the shared building block for assignment (array_min) and
+    probing (explode + window)."""
+    structs = ", ".join(
+        f"named_struct('d', {_cell_dist_sql(vec_sql, c)}, 'cell', {j})"
+        for j, c in enumerate(centroids)
+    )
+    return f"array({structs})"
+
+
+def ivf_assign(vec_col: str, centroids: list[list[float]]) -> Column:
     """Nearest-centroid cell id, declaratively: array_min over
     struct(dist, cell) (lexicographic struct order = argmin with cell-id
     tie-break). Narrow per-row expression — assignment of 1e9 vectors is
     a scan, not a shuffle."""
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _cell_dist(vec, c).alias("d"), F.lit(j).alias("cell")
-                )
-                for j, c in enumerate(centroids)
-            ]
-        )
-    )["cell"]
+    return F.expr(f"array_min({_cell_structs_sql(vec_col, centroids)}).cell")
 
 
 def ivf_topk(
@@ -264,7 +278,7 @@ def ivf_topk(
     v = vectors.select(
         F.col(id_col).alias("nb_id"),
         F.col(vec_col).cast("array<double>").alias("nb_vec"),
-    ).withColumn("cell", ivf_assign(F.col("nb_vec"), centroids))
+    ).withColumn("cell", ivf_assign("nb_vec", centroids))
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
@@ -272,17 +286,7 @@ def ivf_topk(
     qcells = q.select(
         "q_id",
         "q_vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        _cell_dist(F.col("q_vec"), c).alias("d"),
-                        F.lit(j).alias("cell"),
-                    )
-                    for j, c in enumerate(centroids)
-                ]
-            )
-        ).alias("_dc"),
+        F.explode(F.expr(_cell_structs_sql("q_vec", centroids))).alias("_dc"),
     ).select("q_id", "q_vec", F.col("_dc.d").alias("d"), F.col("_dc.cell").alias("cell"))
     wq = Window.partitionBy("q_id").orderBy(F.asc("d"), F.asc("cell"))
     probed = (
@@ -422,13 +426,9 @@ def ivfpq_topk(
     # every centroid-distance expression below is a *_sql string form: one
     # parser call apiece instead of a py4j round-trip per literal/lambda
     # (Column-API construction alone measured ~13 s for this operator)
-    coarse_structs = ", ".join(
-        f"named_struct('d', {_cell_dist_sql('nb_vec', c)}, 'cell', {j})"
-        for j, c in enumerate(centroids)
-    )
     coded = v.select(
         "nb_id",
-        F.expr(f"array_min(array({coarse_structs})).cell").alias("cell"),
+        ivf_assign("nb_vec", centroids).alias("cell"),
         *[
             F.expr(pq_code_sql("nb_vec", books[m], m, sub_dim)).alias(f"code_{m}")
             for m in range(n_sub)
@@ -438,14 +438,10 @@ def ivfpq_topk(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
-    q_structs = ", ".join(
-        f"named_struct('d', {_cell_dist_sql('q_vec', c)}, 'cell', {j})"
-        for j, c in enumerate(centroids)
-    )
     qcells = q.select(
         "q_id",
         "q_vec",
-        F.explode(F.expr(f"array({q_structs})")).alias("_dc"),
+        F.explode(F.expr(_cell_structs_sql("q_vec", centroids))).alias("_dc"),
     ).select("q_id", "q_vec", F.col("_dc.d").alias("d"), F.col("_dc.cell").alias("cell"))
     wq = Window.partitionBy("q_id").orderBy(F.asc("d"), F.asc("cell"))
     probed = (

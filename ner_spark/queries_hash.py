@@ -356,23 +356,14 @@ def _embedding_kmeans_stats(spark, sf_dir):
     """
     from pyspark.sql import functions as F
 
-    from .operators.similarity import _cell_dist, _dot
+    from .operators.similarity import _cell_structs_sql, _dot
     from .queries import _t
 
     centroids = ivf_centroids_for(sf_dir)
     e = _t(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("v")
     )
-    st = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _cell_dist(F.col("v"), c).alias("d"), F.lit(j).alias("cell")
-                )
-                for j, c in enumerate(centroids)
-            ]
-        )
-    )
+    st = F.expr(f"array_min({_cell_structs_sql('v', centroids)})")
     assigned = e.select("v", st.alias("st")).select(
         F.col("st.cell").alias("cell"),
         F.floor(F.round(_dot(F.col("v"), F.col("v")) + F.col("st.d"), 4) * 10000)
