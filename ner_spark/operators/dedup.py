@@ -16,7 +16,7 @@ can replay the exact same signatures).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_P = 1_000_003  # prime modulus for shingle hashing
@@ -451,5 +451,77 @@ def simhash_near_pairs(
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+WINNOW_POS_BITS = 1 << 20  # docs capped at 2^20 k-grams for the packed tie-break
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003 —
+    the MOSS scheme): hash every k-token gram, then in each sliding window
+    of ``w`` consecutive gram hashes select the minimum, taking the
+    RIGHTMOST position on ties. Guarantees at least one selected
+    fingerprint in every w-gram window while sampling ~2/(w+1) of grams.
+
+    The tie rule is packed into one BIGINT — key = h * 2^20 + (2^20-1-pos)
+    — so a single per-doc window ``min()`` performs min-hash +
+    rightmost-pos in one comparison and both engines (and the DuckDB
+    oracle) select identical fingerprints. Docs shorter than ``w`` grams
+    select the minimum over all their grams (one clipped window).
+
+    Returns distinct ``(doc_id, h40)`` rows (h40 = 30-bit gram hash).
+    Per-document window frames only — never a global sort; selection of a
+    1e9-doc corpus is an embarrassingly parallel scan + local window.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        docs.filter(
+            F.col(text_col).isNotNull()
+            & (F.length(F.trim(F.col(text_col))) > 0)
+        )
+        .select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .filter(F.size("__toks") >= k)
+    )
+    kg = base.select(
+        "doc_id",
+        F.size("__toks").alias("n"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {k} + 1),"
+                f" p -> array_join(slice(__toks, p, {k}), ' '))"
+            )
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (F.col("n") - k + 1).alias("m"),
+        (md5_60(F.col("gram")) % (WINNOW_POS_BITS * 1024)).alias("h40"),
+    )
+    keyed = kg.select(
+        "doc_id",
+        "pos",
+        "m",
+        (
+            F.col("h40") * WINNOW_POS_BITS
+            + (WINNOW_POS_BITS - 1 - F.col("pos"))
+        ).alias("key"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        keyed.withColumn("wmin", F.min("key").over(win))
+        .filter(F.col("pos") <= F.greatest(F.lit(1), F.col("m") - w + 1))
+        .select("doc_id", F.expr(f"wmin div {WINNOW_POS_BITS}").alias("h40"))
         .distinct()
     )

@@ -307,46 +307,13 @@ _WINNOW_SQL = f"""
 @query("dedup_winnowing", _WINNOW_SQL)
 def dedup_winnowing(spark, sf_dir):
     """Winnowing fingerprints (k={_WIN_K} token-grams, window w={_WIN_W},
-    rightmost-min tie rule) and the doc pairs sharing >= {_WIN_MIN_SHARED}
-    selected fingerprints. The tie rule is packed into one BIGINT
-    (h40 * 2^20 + (2^20-1-pos)) so a single window min() picks the same
-    fingerprint in both engines; per-doc frames only, df-capped pair join."""
-    base = _base_tokens(spark, sf_dir).filter(F.size("__toks") >= _WIN_K)
-    kg = base.select(
-        "doc_id",
-        F.size("__toks").alias("n"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(__toks) - {_WIN_K} + 1),"
-                f" p -> array_join(slice(__toks, p, {_WIN_K}), ' '))"
-            )
-        ).alias("pos0", "gram"),
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        (F.col("n") - _WIN_K + 1).alias("m"),
-        (
-            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long")
-            % (_POS_BITS * 1024)
-        ).alias("h40"),
-    )
-    keyed = kg.select(
-        "doc_id",
-        "pos",
-        "m",
-        (F.col("h40") * _POS_BITS + (_POS_BITS - 1 - F.col("pos"))).alias("key"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, _WIN_W - 1)
-    )
-    fp = (
-        keyed.withColumn("wmin", F.min("key").over(w))
-        .filter(F.col("pos") <= F.greatest(F.lit(1), F.col("m") - _WIN_W + 1))
-        .select("doc_id", F.expr(f"wmin div {_POS_BITS}").alias("h40"))
-        .distinct()
-    )
+    rightmost-min tie rule; operators/dedup.winnow_fingerprints) and the
+    doc pairs sharing >= {_WIN_MIN_SHARED} selected fingerprints; per-doc
+    frames only, df-capped pair join."""
+    from .operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
     hot = fp.groupBy("h40").agg(F.count(F.lit(1)).alias("fdf")).filter(
         F.col("fdf") > _WIN_DF_CAP
     )

@@ -302,3 +302,50 @@ def test_ivfpq_topk(spark, vectors):
     approx = {(r["q_id"], r["nb_id"]) for r in got}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, recall
+
+
+def _winnow_reference(tokens: list[str], k: int = 4, w: int = 5) -> set[int]:
+    """Literal transcription of Schleimer et al.'s winnowing definition:
+    slide a window of w gram-hashes, select the min, rightmost on ties."""
+    import hashlib
+
+    grams = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % (2**30) for g in grams
+    ]
+    m = len(grams)
+    sel: set[int] = set()
+    for t in range(max(1, m - w + 1)):
+        window = hs[t : t + w]
+        kmin = min(window)
+        # rightmost occurrence of the min
+        sel.add(window[len(window) - 1 - window[::-1].index(kmin)])
+    return sel
+
+
+def test_winnow_fingerprints_matches_reference(spark):
+    """Engine winnowing == the textbook algorithm, doc by doc, on a corpus
+    seeded with heavy repetition (shared phrases + repeated tokens force
+    ties, exercising the rightmost-min rule packed into the BIGINT key)."""
+    import random
+
+    from ner_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(13)
+    vocab = ["spark", "table", "row", "scan", "join", "agg"]
+    docs = []
+    for i in range(40):
+        n = rng.randrange(4, 40)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # short-doc edge cases: exactly k tokens, k-1 (excluded), and w-1 grams
+    docs.append((100, "spark table row scan"))
+    docs.append((101, "spark table row"))
+    docs.append((102, "spark table row scan join agg"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprints(df, k=4, w=5).collect():
+        got.setdefault(r["doc_id"], set()).add(r["h40"])
+    expected = {
+        i: _winnow_reference(t.split(), 4, 5) for i, t in docs if len(t.split()) >= 4
+    }
+    assert got == expected
