@@ -78,3 +78,86 @@ def catalog_time_travel(spark, sf_dir):
     for df in per_snap[1:]:
         out = out.unionByName(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# catalog_schema_evolution: add-column evolution + time travel through
+# the table schema vs the snapshot's own schema
+# ---------------------------------------------------------------------------
+
+_SE_SQL = f"""
+    WITH b AS (
+      SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {_TT_BUCKETS}) AS bucket,
+             doc_id
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS n_all FROM b),
+    e AS (SELECT count(*) AS n_ev FROM b
+          WHERE bucket IN {_TT_OVERWRITE} AND doc_id % 2 = 0)
+    SELECT 'current' AS view, CAST(n_all + n_ev AS BIGINT) AS n_rows,
+           CAST(n_ev AS BIGINT) AS n_lang_set, TRUE AS has_lang_col
+    FROM n, e
+    UNION ALL
+    SELECT 'v1_table_schema', CAST(n_all AS BIGINT), 0, TRUE FROM n
+    UNION ALL
+    SELECT 'v1_own_schema', CAST(n_all AS BIGINT), 0, FALSE FROM n
+"""
+
+
+@query("catalog_schema_evolution", _SE_SQL)
+def catalog_schema_evolution(spark, sf_dir):
+    """Commit v1 as (doc_id, text); append v2 carrying a NEW ``lang``
+    column (even doc_ids of buckets 0-2). Reading the head surfaces lang
+    NULL-backfilled on v1 rows; time-traveling to snapshot 1 through the
+    TABLE schema shows lang all-NULL; through its OWN schema the column
+    does not exist — no data file was rewritten at any point."""
+    import tempfile
+
+    from .sources.catalog import BUCKET_COL, with_bucket
+    from .sources.snapshots import SnapshotCatalog
+
+    docs = with_bucket(
+        _t(spark, sf_dir, "documents").select("doc_id", "text", "lang"),
+        "doc_id",
+        _TT_BUCKETS,
+    )
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="kg_snapshots_se_"))
+    cat.commit(docs.select("doc_id", "text", BUCKET_COL), "docs")
+    cat.commit(
+        docs.filter(
+            F.col(BUCKET_COL).isin(*_TT_OVERWRITE) & (F.col("doc_id") % 2 == 0)
+        ),
+        "docs",
+        mode="append",
+    )
+    views = [
+        ("current", cat.read(spark, "docs")),
+        ("v1_table_schema", cat.read(spark, "docs", snapshot_id=1)),
+        (
+            "v1_own_schema",
+            cat.read(spark, "docs", snapshot_id=1, use_schema="snapshot"),
+        ),
+    ]
+    parts = []
+    for name, df in views:
+        has_lang = "lang" in df.columns
+        n_lang = (
+            F.sum(F.col("lang").isNotNull().cast("long"))
+            if has_lang
+            else F.lit(0).cast("long")
+        )
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"), n_lang.alias("n_lang_set")
+            ).select(
+                F.lit(name).alias("view"),
+                "n_rows",
+                "n_lang_set",
+                F.lit(has_lang).alias("has_lang_col"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

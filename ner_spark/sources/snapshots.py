@@ -124,6 +124,13 @@ class SnapshotCatalog:
             "op": op,
             "written_buckets": written,
             "mapping": mapping,
+            # the snapshot's schema (Iceberg: schema evolves with commits;
+            # readers reconcile old files to the table schema on read)
+            "schema": [
+                [f.name, f.dataType.simpleString()]
+                for f in df.schema.fields
+                if f.name != BUCKET_COL
+            ],
         }
         if batch_id is not None:
             snap["batch_id"] = int(batch_id)
@@ -167,18 +174,66 @@ class SnapshotCatalog:
         table: str,
         snapshot_id: int | None = None,
         as_of: float | None = None,
+        use_schema: str = "table",
     ) -> DataFrame:
+        """Read a snapshot. ``use_schema`` picks the projection schema
+        (Iceberg semantics: the schema is TABLE-scoped, so time travel
+        reads old data through the *current* schema by default):
+
+        - ``"table"`` — the latest snapshot's recorded schema: columns
+          added since the read snapshot come back NULL-backfilled, columns
+          dropped since are omitted (add/drop column without rewriting a
+          single data file);
+        - ``"snapshot"`` — the schema recorded WITH the read snapshot
+          (what a writer at that point saw);
+        - ``"stored"`` — raw parquet union, no reconciliation.
+        """
         snap = self._resolve(table, snapshot_id, as_of)
         tdir = self.table_dir(table)
-        paths = [
-            os.path.join(tdir, f"_commit={commit}", f"{BUCKET_COL}={b}")
-            for b, commits in sorted(snap["mapping"].items(), key=lambda kv: int(kv[0]))
-            for commit in commits
-        ]
-        if not paths:
+        target = None
+        if use_schema == "table":
+            head = self.current(table)
+            target = head.get("schema") if head else None
+        elif use_schema == "snapshot":
+            target = snap.get("schema")
+        # one snapshot may span commits written under different schemas
+        # (append-mode evolution). Parquet footer merging can't widen types
+        # (INT vs BIGINT aborts), so instead group the referenced commit
+        # dirs by their RECORDED schema (the log is the source of truth,
+        # Iceberg-style — no footer reads), reconcile each group to the
+        # target schema, and union. Groups = schema versions: few.
+        commit_schema = {
+            f"c{s['snapshot_id']:06d}": s.get("schema")
+            for s in self.snapshots(table)
+        }
+        groups: dict[tuple, list[str]] = {}
+        for b, commits in sorted(snap["mapping"].items(), key=lambda kv: int(kv[0])):
+            for commit in commits:
+                sch = commit_schema.get(commit)
+                key = tuple(tuple(c) for c in sch) if sch else ("__unknown__",)
+                groups.setdefault(key, []).append(
+                    os.path.join(tdir, f"_commit={commit}", f"{BUCKET_COL}={b}")
+                )
+        if not groups:
             raise FileNotFoundError(f"snapshot {snap['snapshot_id']} of {table!r} is empty")
-        df = spark.read.option("basePath", tdir).parquet(*paths).drop("_commit")
-        return self._apply_deletes(spark, table, snap, df)
+        parts = []
+        for paths in groups.values():
+            df = spark.read.option("basePath", tdir).parquet(*paths).drop("_commit")
+            if target is not None:
+                df = df.select(
+                    *[
+                        F.col(name).cast(typ)
+                        if name in df.columns
+                        else F.lit(None).cast(typ).alias(name)
+                        for name, typ in target
+                    ],
+                    BUCKET_COL,
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=target is None)
+        return self._apply_deletes(spark, table, snap, out)
 
     def _apply_deletes(
         self, spark: SparkSession, table: str, snap: dict, df: DataFrame

@@ -62,6 +62,9 @@ GLOBAL_AGG_OK = {
     # cumulative window over the per-bucket aggregate: corpus/50 rows,
     # both window inputs pre-aggregated before the single partition
     "vocab_growth_heaps",
+    # three 1-row global counts (one per schema view), each fed by
+    # map-side partial aggregation
+    "catalog_schema_evolution",
 }
 
 # queries whose semantics require a Python stage (tolerant XML parser,

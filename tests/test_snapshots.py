@@ -201,3 +201,51 @@ def test_merge_on_read_equality_deletes(spark, tmp_path):
     cat.commit(df, "t")  # snapshot 4 re-publishes all buckets BUT inherits tombstones
     still = {int(r["k"]) for r in cat.read(spark, "t").select("k").collect()}
     assert still.isdisjoint(set(range(10)))  # documented: tombstones persist
+
+
+def test_schema_evolution_add_and_drop_column(spark, tmp_path):
+    """Iceberg-style schema evolution without rewriting a data file:
+    append-mode commits may add columns (old files NULL-backfill through
+    the table schema), overwrite commits may drop them (old files project
+    them away), and ``use_schema="snapshot"`` recovers the schema a writer
+    saw at that point in history."""
+    cat = SnapshotCatalog(str(tmp_path))
+    v1 = _bucketed(spark, n=10, buckets=4)
+    cat.commit(v1, "t")  # snapshot 1: (k, v)
+    v2 = with_bucket(
+        spark.range(100, 105).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+            F.lit("x").alias("w"),
+        ),
+        "k",
+        4,
+    )
+    cat.commit(v2, "t", mode="append")  # snapshot 2: (k, v, w)
+
+    cur = cat.read(spark, "t")
+    assert set(cur.columns) == {"k", "v", "w", BUCKET_COL}
+    byk = {int(r["k"]): r["w"] for r in cur.collect()}
+    assert all(byk[k] is None for k in range(10))
+    assert all(byk[k] == "x" for k in range(100, 105))
+
+    # time travel reads OLD data through the CURRENT table schema
+    old = cat.read(spark, "t", snapshot_id=1)
+    assert "w" in old.columns
+    assert old.filter(F.col("w").isNotNull()).count() == 0
+    # ... unless asked for the snapshot's own schema
+    own = cat.read(spark, "t", snapshot_id=1, use_schema="snapshot")
+    assert "w" not in own.columns
+    assert own.count() == 10
+
+    # drop a column: a later overwrite commit without ``v`` makes untouched
+    # buckets' files project v away when read through the table schema
+    v3 = with_bucket(
+        spark.range(200, 203).select(F.col("id").alias("k"), F.lit("y").alias("w")),
+        "k",
+        4,
+    )
+    cat.commit(v3, "t")  # snapshot 3: (k, w) — overwrites only v3's buckets
+    head = cat.read(spark, "t")
+    assert "v" not in head.columns and "w" in head.columns
+    # rows from buckets v3 did not touch are still readable (as (k, w))
+    assert head.count() > 3
