@@ -161,3 +161,71 @@ def catalog_schema_evolution(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# table_zorder_stats: Morton-curve clustering quality, SQL-replayed
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+_Z_FILES = 16
+_Z_SEG = (4**_Z_BITS + _Z_FILES - 1) // _Z_FILES
+
+
+def _z_terms_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+_ZORDER_SQL = f"""
+    WITH g AS (
+      SELECT (o_custkey % 256) AS a,
+             (date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+              % 256) AS b
+      FROM orders
+    ),
+    z AS (
+      SELECT a, b, ({_z_terms_sql('a', 'b')}) // {_Z_SEG} AS zfile FROM g
+    )
+    SELECT CAST(zfile AS BIGINT) AS zfile,
+           count(*) AS n_rows,
+           CAST(min(a) AS BIGINT) AS min_a, CAST(max(a) AS BIGINT) AS max_a,
+           CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b
+    FROM z GROUP BY 1
+"""
+
+
+@query("table_zorder_stats", _ZORDER_SQL)
+def table_zorder_stats(spark, sf_dir):
+    """Z-order (Morton) clustering of orders on (customer, order-day):
+    per-curve-segment row counts and min/max of BOTH keys — the zone-map
+    stats a reader skips files with. Fixed-width curve segments (z div
+    seg), so the file assignment is deterministic and the oracle replays
+    the full bit-interleave in SQL. Each segment covers a compact region
+    of BOTH dimensions — the property 1-D range clustering cannot give
+    the second key (see sources/catalog.write_zorder_clustered; clustering
+    quality pinned in tests/test_zorder.py)."""
+    from .sources.catalog import z_value
+
+    o = _t(spark, sf_dir, "orders")
+    g = o.select(
+        (F.col("o_custkey") % 256).alias("a"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+            % 256
+        ).alias("b"),
+    )
+    z = g.select(
+        "a", "b",
+        (z_value(F.col("a"), F.col("b"), _Z_BITS) / _Z_SEG).cast("long").alias("zfile"),
+    )
+    return z.groupBy("zfile").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("a").alias("min_a"),
+        F.max("a").alias("max_a"),
+        F.min("b").alias("min_b"),
+        F.max("b").alias("max_b"),
+    )

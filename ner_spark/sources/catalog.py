@@ -275,3 +275,44 @@ def write_range_clustered(
 def with_conf(spark: SparkSession) -> None:
     # dynamic mode: overwrite only the partitions present in the write
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+
+def z_value(a: Column, b: Column, bits: int = 8) -> Column:
+    """Morton/Z-order interleave of two non-negative ``bits``-wide ints:
+    bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1. Pure
+    integer shift/or arithmetic — JVM-side, exact, and replayable in ANSI
+    SQL — so the curve order is identical on any engine."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def write_zorder_clustered(
+    df: DataFrame, path: str, key_a: str, key_b: str, bits: int = 8, n_files: int = 16
+) -> None:
+    """Write ``df`` Z-order-clustered on TWO keys (Iceberg's ``rewrite
+    (strategy => 'sort', sort_order => 'zorder(a, b)')``): rows map to the
+    Morton curve over the (a, b) grid and split into ``n_files``
+    FIXED-WIDTH curve segments (``z div ceil(4^bits / n_files)`` — not
+    sampled range boundaries, so the file assignment is deterministic and
+    SQL-replayable). Each file then covers a compact curve segment =
+    a small rectangle-ish region of BOTH dimensions, so footer min/max
+    stats skip files for predicates on EITHER key — what 1-D range
+    clustering cannot do for the second dimension."""
+    seg = (4**bits + n_files - 1) // n_files
+    zf = (z_value(F.col(key_a), F.col(key_b), bits) / seg).cast("long")
+    (
+        df.withColumn("_zfile", zf)
+        .repartition(n_files, F.col("_zfile"))
+        .sortWithinPartitions("_zfile", key_a, key_b)
+        .write.mode("overwrite")
+        .partitionBy("_zfile")
+        .parquet(path)
+    )
