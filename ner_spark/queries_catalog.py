@@ -229,3 +229,72 @@ def table_zorder_stats(spark, sf_dir):
         F.min("b").alias("min_b"),
         F.max("b").alias("max_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# catalog_cdc_diff: row-level change-data-capture between two snapshots
+# ---------------------------------------------------------------------------
+
+_CDC_NEW_OFFSET = 10_000_000
+
+_CDC_SQL = f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {_TT_BUCKETS}) AS bucket
+      FROM documents WHERE text IS NOT NULL
+    ),
+    aff AS (SELECT * FROM b WHERE bucket IN {_TT_OVERWRITE}),
+    newr AS (
+      SELECT doc_id + {_CDC_NEW_OFFSET} AS doc_id, 'new doc' AS text
+      FROM aff
+      WHERE doc_id % 4 = 0
+        AND (('0x' || substr(md5(CAST(doc_id + {_CDC_NEW_OFFSET} AS VARCHAR)),
+                             1, 15))::BIGINT % {_TT_BUCKETS}) IN {_TT_OVERWRITE}
+    )
+    SELECT doc_id, 'D' AS _change_type, text FROM aff WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id, 'U_before', text FROM aff WHERE doc_id % 4 = 2
+    UNION ALL
+    SELECT doc_id, 'U_after', text || '~v2' FROM aff WHERE doc_id % 4 = 2
+    UNION ALL
+    SELECT doc_id, 'I', text FROM newr
+"""
+
+
+@query("catalog_cdc_diff", _CDC_SQL)
+def catalog_cdc_diff(spark, sf_dir):
+    """Row-level CDC between snapshot 1 (all docs) and snapshot 2
+    (buckets 0-2 overwritten: doc_id%4==0 kept verbatim, %4==2 text
+    updated, odd rows dropped, brand-new ids inserted): the changelog
+    classifies D / U_before / U_after / I and rows kept verbatim emit
+    NOTHING — all computed by reading only the changed buckets
+    (sources/snapshots.cdc_diff)."""
+    import tempfile
+
+    from .sources.catalog import BUCKET_COL, with_bucket
+    from .sources.snapshots import SnapshotCatalog, cdc_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    )
+    bucketed = with_bucket(docs, "doc_id", _TT_BUCKETS)
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="kg_snapshots_cdc_"))
+    cat.commit(bucketed, "docs")
+    aff = bucketed.filter(F.col(BUCKET_COL).isin(*_TT_OVERWRITE))
+    keep = aff.filter(F.col("doc_id") % 4 == 0)
+    upd = aff.filter(F.col("doc_id") % 4 == 2).withColumn(
+        "text", F.concat(F.col("text"), F.lit("~v2"))
+    )
+    new = with_bucket(
+        aff.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + _CDC_NEW_OFFSET).alias("doc_id"),
+            F.lit("new doc").alias("text"),
+        ),
+        "doc_id",
+        _TT_BUCKETS,
+    ).filter(F.col(BUCKET_COL).isin(*_TT_OVERWRITE))
+    cat.commit(keep.unionByName(upd).unionByName(new), "docs")
+    return cdc_diff(cat, spark, "docs", 1, 2, "doc_id").select(
+        "doc_id", "_change_type", "text"
+    )

@@ -395,3 +395,70 @@ def snapshot_sink(cat: SnapshotCatalog, table: str, key: str, n_buckets: int):
         )
 
     return write_batch
+
+
+def cdc_diff(
+    cat: SnapshotCatalog,
+    spark: SparkSession,
+    table: str,
+    from_snapshot: int,
+    to_snapshot: int,
+    key: str,
+) -> DataFrame:
+    """Row-level change-data-capture between two snapshots (Iceberg's
+    ``create_changelog_view``): rows keyed by ``key`` classified as
+    ``D`` (deleted), ``I`` (inserted), or an update pair ``U_before`` /
+    ``U_after``; unchanged rows emit nothing.
+
+    Scale shape: both sides read ONLY the buckets whose file mapping
+    changed between the snapshots (``changed_buckets`` — O(buckets)
+    metadata); rows in untouched buckets live in the SAME immutable files
+    in both snapshots and cannot differ, so CDC cost is O(changed data) +
+    one hash join on the key, never a full-table diff. Row identity is an
+    md5 fingerprint over the to-snapshot schema's non-key columns
+    (null-safe), so schema evolution composes: a column added between the
+    snapshots NULL-backfills on the old side and only rows whose values
+    actually differ surface as updates.
+    """
+    changed = set(cat.changed_buckets(table, from_snapshot, to_snapshot))
+    old = cat.read(spark, table, snapshot_id=from_snapshot).filter(
+        F.col(BUCKET_COL).isin(*changed) if changed else F.lit(False)
+    )
+    new = cat.read(spark, table, snapshot_id=to_snapshot).filter(
+        F.col(BUCKET_COL).isin(*changed) if changed else F.lit(False)
+    )
+    cols = [c for c in new.columns if c not in (key, BUCKET_COL)]
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+        )
+    )
+    o = old.select(
+        F.col(key).alias("_k"), fp.alias("_fp"), *[F.col(c).alias(c) for c in cols]
+    )
+    n = new.select(
+        F.col(key).alias("_k"), fp.alias("_fp"), *[F.col(c).alias(c) for c in cols]
+    )
+    j = o.alias("o").join(n.alias("n"), F.col("o._k") == F.col("n._k"), "full_outer")
+    deletes = j.filter(F.col("n._k").isNull()).select(
+        F.col("o._k").alias(key), F.lit("D").alias("_change_type"),
+        *[F.col(f"o.{c}").alias(c) for c in cols],
+    )
+    inserts = j.filter(F.col("o._k").isNull()).select(
+        F.col("n._k").alias(key), F.lit("I").alias("_change_type"),
+        *[F.col(f"n.{c}").alias(c) for c in cols],
+    )
+    upd = j.filter(
+        F.col("o._k").isNotNull()
+        & F.col("n._k").isNotNull()
+        & (F.col("o._fp") != F.col("n._fp"))
+    )
+    u_before = upd.select(
+        F.col("o._k").alias(key), F.lit("U_before").alias("_change_type"),
+        *[F.col(f"o.{c}").alias(c) for c in cols],
+    )
+    u_after = upd.select(
+        F.col("n._k").alias(key), F.lit("U_after").alias("_change_type"),
+        *[F.col(f"n.{c}").alias(c) for c in cols],
+    )
+    return deletes.unionByName(inserts).unionByName(u_before).unionByName(u_after)

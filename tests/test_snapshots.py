@@ -249,3 +249,43 @@ def test_schema_evolution_add_and_drop_column(spark, tmp_path):
     assert "v" not in head.columns and "w" in head.columns
     # rows from buckets v3 did not touch are still readable (as (k, w))
     assert head.count() > 3
+
+
+def test_cdc_diff_classifies_changes(spark, tmp_path):
+    """CDC between snapshots: deletes, inserts, update pairs; rows
+    rewritten VERBATIM emit nothing; composes with schema evolution (a
+    column added between the snapshots NULL-backfills on the old side,
+    so a row differing only there is an update)."""
+    from ner_spark.sources.snapshots import cdc_diff
+
+    cat = SnapshotCatalog(str(tmp_path))
+    v1 = with_bucket(
+        spark.range(8).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v")),
+        "k",
+        2,
+    )
+    cat.commit(v1, "t")  # snapshot 1
+    # v2: k=0,1 verbatim; k=2 value updated; k in 3..7 dropped; k=100 new;
+    # and a NEW column tag ('' everywhere except k=1 -> schema-evolution
+    # update: k=1 differs ONLY in the added column)
+    v2 = with_bucket(
+        spark.createDataFrame(
+            [(0, 0, None), (1, 10, "tagged"), (2, 99, None), (100, 5, None)],
+            "k long, v long, tag string",
+        ),
+        "k",
+        2,
+    )
+    cat.commit(v2, "t")  # snapshot 2 (overwrites both buckets)
+    out = cdc_diff(cat, spark, "t", 1, 2, "k").collect()
+    by_type: dict[str, set[int]] = {}
+    for r in out:
+        by_type.setdefault(r["_change_type"], set()).add(int(r["k"]))
+    assert by_type["D"] == {3, 4, 5, 6, 7}
+    assert by_type["I"] == {100}
+    # k=2 (value change) and k=1 (added-column change); k=0 is silent
+    assert by_type["U_before"] == by_type["U_after"] == {1, 2}
+    assert 0 not in {int(r["k"]) for r in out}
+    ua = {int(r["k"]): r["tag"] for r in out if r["_change_type"] == "U_after"}
+    ub = {int(r["k"]): r["tag"] for r in out if r["_change_type"] == "U_before"}
+    assert ua[1] == "tagged" and ub[1] is None
