@@ -1131,3 +1131,144 @@ def kg_linking_skew_audit(spark, sf_dir):
             (out_rows > _SKEW_HOT_ROWS).alias("is_hot"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# kg_negative_samples: KG-embedding training export (positives + corrupted
+# negatives with known-positive filtering)
+# ---------------------------------------------------------------------------
+
+_NEG_K = 2  # corruptions per positive occurrence
+
+_NEG_SQL = f"""
+    WITH surf(NE) AS (VALUES {{surf}}),
+    d AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ),
+    m AS (
+      SELECT d.doc_id, surf.NE, instr(d.text, surf.NE) AS pos
+      FROM d CROSS JOIN surf
+      WHERE instr(d.text, surf.NE) > 0
+    ),
+    p AS (
+      SELECT a.doc_id, a.NE AS subj, b.NE AS obj
+      FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.pos < b.pos
+    ),
+    ps AS (SELECT DISTINCT subj, obj FROM p),
+    neg1 AS (
+      SELECT p.doc_id, p.subj, p.obj, i.i AS neg_i,
+             d.toks[CAST(
+               ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR) || ':' || p.subj
+                               || ':' || p.obj || ':' || CAST(i.i AS VARCHAR)),
+                        1, 15))::BIGINT % len(d.toks) + 1 AS INT)] AS obj_neg
+      FROM p JOIN d ON p.doc_id = d.doc_id
+      CROSS JOIN (VALUES (0), (1)) AS i(i)
+    ),
+    neg AS (
+      SELECT n.doc_id, n.subj, n.obj_neg AS obj,
+             CAST(0 AS BIGINT) AS label, CAST(n.neg_i AS BIGINT) AS neg_i
+      FROM neg1 n
+      WHERE n.obj_neg <> n.obj AND n.obj_neg <> n.subj
+        AND NOT EXISTS (SELECT 1 FROM ps
+                        WHERE ps.subj = n.subj AND ps.obj = n.obj_neg)
+    )
+    SELECT doc_id, subj, obj, CAST(1 AS BIGINT) AS label,
+           CAST(-1 AS BIGINT) AS neg_i
+    FROM p
+    UNION ALL
+    SELECT * FROM neg
+"""
+
+
+@query("kg_negative_samples", None)  # SQL attached below (_SURF_SQL import)
+def kg_negative_samples(spark, sf_dir):
+    """Training export for a TransE-style KG embedding: every co-mention
+    positive (subj before obj in text order) plus {_NEG_K} corrupted
+    negatives per occurrence. The corruption is deterministic — the
+    replacement object is the document's own token at index
+    md5(doc:subj:obj:i) % n_tokens — and negatives colliding with ANY
+    known positive are filtered by a broadcast anti-join (the filtered-
+    negative-sampling step real KG trainers need; at corpus scale the
+    positive set aggregates per (subj, obj) and stays broadcast-small
+    because the entity vocabulary, not the corpus, bounds it)."""
+    from .queries import _SURFACES
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    d = docs.select(
+        "doc_id", "text", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    m = (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.array(*[F.lit(s) for s in _SURFACES])).alias("NE"),
+        )
+        .withColumn("pos", F.expr("instr(text, NE)").cast("long"))
+        .filter(F.col("pos") > 0)
+        .select("doc_id", "NE", "pos")
+    )
+    a = m.select("doc_id", F.col("NE").alias("subj"), F.col("pos").alias("pa"))
+    b = m.select("doc_id", F.col("NE").alias("obj"), F.col("pos").alias("pb"))
+    p = a.join(b, "doc_id").filter(F.col("pa") < F.col("pb")).select(
+        "doc_id", "subj", "obj"
+    )
+    ps = p.select("subj", "obj").distinct()
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    "subj",
+                    "obj",
+                    F.col("neg_i").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    neg = (
+        p.join(d.select("doc_id", "toks"), "doc_id")
+        .withColumn("neg_i", F.explode(F.array(*[F.lit(i) for i in range(_NEG_K)])))
+        .withColumn(
+            "obj_neg",
+            F.element_at("toks", (h % F.size("toks") + 1).cast("int")),
+        )
+        .filter((F.col("obj_neg") != F.col("obj")) & (F.col("obj_neg") != F.col("subj")))
+        .join(
+            F.broadcast(ps.withColumnRenamed("obj", "obj_neg")),
+            ["subj", "obj_neg"],
+            "left_anti",
+        )
+        .select(
+            "doc_id",
+            "subj",
+            F.col("obj_neg").alias("obj"),
+            F.lit(0).cast("long").alias("label"),
+            F.col("neg_i").cast("long").alias("neg_i"),
+        )
+    )
+    pos_out = p.select(
+        "doc_id",
+        "subj",
+        "obj",
+        F.lit(1).cast("long").alias("label"),
+        F.lit(-1).cast("long").alias("neg_i"),
+    )
+    return pos_out.unionByName(neg)
+
+
+def _attach_neg_sql() -> None:
+    from .queries import _SURF_SQL, ORACLE
+
+    ORACLE["kg_negative_samples"] = _NEG_SQL.format(surf=_SURF_SQL)
+
+
+_attach_neg_sql()
