@@ -828,6 +828,7 @@ from . import queries_sketch  # noqa: E402,F401
 from . import queries_dq  # noqa: E402,F401
 from . import queries_relops3  # noqa: E402,F401
 from . import queries_relops4  # noqa: E402,F401
+from . import queries_relops5  # noqa: E402,F401
 from . import queries_textmine2  # noqa: E402,F401
 from . import queries_catalog  # noqa: E402,F401
 from . import queries_ir  # noqa: E402,F401
