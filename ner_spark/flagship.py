@@ -70,3 +70,32 @@ def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = build_pipeline(spark)
     out = pipe.run(docs_as_spans(documents))
     return out["triples"]
+
+
+#: relation rule bank matched to the driver corpus vocabulary. The default
+#: reference bank (operators.relations.PRED_RULES) is French connective
+#: phrases that can never appear in the synthetic lowercase-token corpus, so
+#: relation triples are structurally empty under it — this bank reads the
+#: predicate off connective tokens that DO occur between entity mentions
+#: ("join", "data", "key"/"hash", bare articles), giving the relation layer
+#: (and everything downstream: 2-hop paths, degrees, support) a live edge
+#: set the oracle can replay. First match wins, like the reference bank.
+VOCAB_PRED_RULES = (
+    (r"\bjoin\b", "joins"),
+    (r"\bdata\b", "shares_data"),
+    (r"\bkey\b|\bhash\b", "keyed_by"),
+    (r"(^| )(a|the)( |$)", "near"),
+)
+
+
+def flagship_triples_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline with the vocabulary-matched relation bank:
+    instance triples unchanged, relation triples from VOCAB_PRED_RULES."""
+    from .operators.relations import instance_triples, relation_triples
+
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pipe = build_pipeline(spark)
+    out = pipe.run(docs_as_spans(documents))
+    inst = instance_triples(out["mentions"])
+    rel = relation_triples(out["mentions"], out["clean"], rules=VOCAB_PRED_RULES)
+    return inst.unionByName(rel)

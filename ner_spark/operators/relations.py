@@ -50,7 +50,12 @@ def instance_triples(mentions: DataFrame) -> DataFrame:
     )
 
 
-def relation_triples(mentions: DataFrame, docs: DataFrame, max_gap: int = MAX_GAP) -> DataFrame:
+def relation_triples(
+    mentions: DataFrame,
+    docs: DataFrame,
+    max_gap: int = MAX_GAP,
+    rules: tuple = PRED_RULES,
+) -> DataFrame:
     """Pairwise co-mention relations within a document.
 
     ``docs`` supplies (doc_uid, text) for the connecting substring.
@@ -116,7 +121,7 @@ def relation_triples(mentions: DataFrame, docs: DataFrame, max_gap: int = MAX_GA
         F.lit(1), (F.col("b_start") - F.col("a_end")).cast("int")
     )
     pred = F.lit(None).cast("string")
-    for rx, name in reversed(PRED_RULES):
+    for rx, name in reversed(rules):
         pred = F.when(between.rlike(rx), F.lit(name)).otherwise(pred)
     return (
         pairs.select(

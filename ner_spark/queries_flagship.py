@@ -91,9 +91,9 @@ def _combo_conditions() -> str:
     return "\n               OR ".join(conds)
 
 
-def _pred_case() -> str:
+def _pred_case(rules=PRED_RULES) -> str:
     whens = "\n             ".join(
-        f"WHEN regexp_matches(btw, '{rx}') THEN '{name}'" for rx, name in PRED_RULES
+        f"WHEN regexp_matches(btw, '{rx}') THEN '{name}'" for rx, name in rules
     )
     return f"CASE {whens} END"
 
@@ -112,7 +112,12 @@ _MODEL_SOURCES = [
 _SYS_VALUES = ", ".join(f"('{name}', {rank})" for rank, name in _MODEL_SOURCES)
 _N_RANKS = len(_MODEL_SOURCES) + 1
 
-FLAGSHIP_SQL = f"""
+def build_flagship_sql(pred_rules=PRED_RULES) -> str:
+    """Full flagship replay SQL, parameterized on the relation rule bank so
+    rule-bank variants (e.g. the testdata-vocabulary bank in flagship.py,
+    which actually fires on the driver corpus — the reference French rules
+    cannot) replay through the identical generated pipeline SQL."""
+    return f"""
     WITH src AS MATERIALIZED (
       -- docs_as_spans + S0 normalize: the corpus is already single-spaced
       -- lowercase tokens, so normalize_ws is trim+collapse (asserted: the
@@ -213,7 +218,7 @@ FLAGSHIP_SQL = f"""
     ),
     rel AS (
       SELECT subj, pred, obj, doc_uid, min(method) AS method
-      FROM (SELECT *, {_pred_case()} AS pred FROM relpair)
+      FROM (SELECT *, {_pred_case(pred_rules)} AS pred FROM relpair)
       WHERE pred IS NOT NULL
       GROUP BY doc_uid, subj, pred, obj
     )
@@ -221,6 +226,9 @@ FLAGSHIP_SQL = f"""
     UNION ALL
     SELECT subj, pred, obj, doc_uid, method FROM rel
 """
+
+
+FLAGSHIP_SQL = build_flagship_sql()
 
 # registers the flagship as a full rows+schema+hash driver query; the Spark
 # side is the real pipeline (clean -> fused extractor UDF -> consensus ->

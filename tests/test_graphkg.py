@@ -1,0 +1,74 @@
+"""Semantics for the KG graph-analytics batch (queries_graphkg): relation
+triples actually fire under the vocabulary bank, 2-hop paths are exactly
+the composition of the edge set with itself, degrees are consistent with
+the edge count, and support sums back to the per-document triple count."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ner_spark.flagship import VOCAB_PRED_RULES, flagship_triples_vocab
+from ner_spark.queries_graphkg import (
+    _rel_edges,
+    kg_entity_degree,
+    kg_triple_support,
+    kg_two_hop_paths,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _same(a, b):
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_vocab_bank_fires(spark):
+    """The point of VOCAB_PRED_RULES: a non-empty relation layer on the
+    driver corpus (the reference French bank yields zero rows here)."""
+    rel = flagship_triples_vocab(spark, SF).filter(
+        F.col("pred") != "instance_of"
+    )
+    preds = {r["pred"] for r in rel.select("pred").distinct().collect()}
+    assert preds  # at least one rule fired
+    assert preds <= {name for _rx, name in VOCAB_PRED_RULES}
+
+
+def test_two_hop_equals_literal_composition(spark):
+    e = _rel_edges(spark, SF)
+    a = e.select("subj", F.col("pred").alias("pred1"), F.col("obj").alias("mid"))
+    b = e.select(
+        F.col("subj").alias("mid"),
+        F.col("pred").alias("pred2"),
+        F.col("obj").alias("obj"),
+    )
+    literal = (
+        a.join(b, "mid")
+        .filter(F.col("subj") != F.col("obj"))
+        .select("subj", "pred1", "mid", "pred2", "obj")
+        .distinct()
+    )
+    out = kg_two_hop_paths(spark, SF)
+    assert out.count() > 0
+    assert _same(out, literal)
+
+
+def test_degree_sums_match_edge_count(spark):
+    e_cnt = _rel_edges(spark, SF).count()
+    deg = kg_entity_degree(spark, SF)
+    sums = deg.agg(
+        F.sum("out_degree").alias("o"), F.sum("in_degree").alias("i")
+    ).first()
+    assert sums["o"] == e_cnt and sums["i"] == e_cnt
+
+
+def test_support_totals_match_triple_table(spark):
+    tri = flagship_triples_vocab(spark, SF)
+    sup = kg_triple_support(spark, SF)
+    # summing support over edges = number of distinct (edge, doc) pairs
+    total = sup.agg(F.sum("support")).first()[0]
+    distinct_pairs = (
+        tri.select("subj", "pred", "obj", "doc_uid").distinct().count()
+    )
+    assert total == distinct_pairs
+    # one row per distinct edge
+    assert sup.count() == tri.select("subj", "pred", "obj").distinct().count()

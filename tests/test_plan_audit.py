@@ -77,6 +77,12 @@ ARROW_OK = {
     "multimodal_resize_plan",
     "multimodal_frame_plan",
     "kg_flagship_triples",
+    # graph-analytics batch recomputes the flagship (same fused extractor
+    # UDF) per query so the driver check stays self-contained
+    "kg_relation_triples",
+    "kg_triple_support",
+    "kg_two_hop_paths",
+    "kg_entity_degree",
     # greedy per-bucket packing fold: inherently sequential per group,
     # runs as ONE Arrow-batched applyInPandas stage per hash bucket
     "pack_training_sequences",
