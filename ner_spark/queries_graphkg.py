@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .flagship import VOCAB_PRED_RULES, flagship_triples_vocab
+from .flagship import _GAZ, VOCAB_PRED_RULES, flagship_triples_vocab
 from .queries import query
 from .queries_flagship import build_flagship_sql
 
@@ -169,4 +169,54 @@ def kg_entity_degree(spark, sf_dir):
     )
     return proj.groupBy("entity").agg(
         F.sum("o").alias("out_degree"), F.sum("i").alias("in_degree")
+    )
+
+
+_GAZ_ALIAS_SQL = ", ".join(f"('{a}', '{e}')" for e, a, _l, _w in _GAZ)
+
+
+@query(
+    "kg_linked_triples",
+    f"""
+    WITH {_TRI}, {_EDGES},
+    gaz(alias, entity_id) AS (VALUES {_GAZ_ALIAS_SQL})
+    SELECT coalesce(g1.entity_id, 'surf:' || e.subj) AS subj_id,
+           e.pred AS pred,
+           coalesce(g2.entity_id, 'surf:' || e.obj) AS obj_id,
+           CAST(count(*) AS BIGINT) AS n_edges
+    FROM edges e
+    LEFT JOIN gaz g1 ON e.subj = g1.alias
+    LEFT JOIN gaz g2 ON e.obj = g2.alias
+    GROUP BY 1, 2, 3
+    """,
+)
+def kg_linked_triples(spark, sf_dir):
+    """S5 applied to S4: rewrite the surface-form edge set onto entity ids
+    through the gazetteer alias dictionary (two broadcast left joins —
+    the dimension is tiny at any corpus scale, so neither join shuffles
+    the edge set), keeping unmatched surfaces as 'surf:'-prefixed ids.
+    n_edges counts how many distinct surface edges collapsed onto each
+    linked edge — the fan-in the canonicalization stage inherits."""
+    gaz = spark.createDataFrame(
+        [(a, e) for e, a, _l, _w in _GAZ], ["alias", "entity_id"]
+    )
+    e = _rel_edges(spark, sf_dir)
+    g1 = F.broadcast(gaz.withColumnRenamed("entity_id", "subj_ent"))
+    g2 = F.broadcast(
+        gaz.withColumnRenamed("entity_id", "obj_ent").withColumnRenamed(
+            "alias", "alias2"
+        )
+    )
+    return (
+        e.join(g1, e["subj"] == g1["alias"], "left")
+        .join(g2, e["obj"] == g2["alias2"], "left")
+        .select(
+            F.coalesce(F.col("subj_ent"), F.concat(F.lit("surf:"), F.col("subj")))
+            .alias("subj_id"),
+            "pred",
+            F.coalesce(F.col("obj_ent"), F.concat(F.lit("surf:"), F.col("obj")))
+            .alias("obj_id"),
+        )
+        .groupBy("subj_id", "pred", "obj_id")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
     )

@@ -72,3 +72,26 @@ def test_support_totals_match_triple_table(spark):
     assert total == distinct_pairs
     # one row per distinct edge
     assert sup.count() == tri.select("subj", "pred", "obj").distinct().count()
+
+
+def test_linked_triples_conserves_edges(spark):
+    """Every surface edge lands on exactly one linked edge: sum(n_edges)
+    equals the surface edge count, and gazetteer aliases never survive as
+    surf: ids."""
+    from ner_spark.flagship import _GAZ
+    from ner_spark.queries_graphkg import kg_linked_triples
+
+    e_cnt = _rel_edges(spark, SF).count()
+    out = kg_linked_triples(spark, SF)
+    assert out.agg(F.sum("n_edges")).first()[0] == e_cnt
+    aliases = {a for _e, a, _l, _w in _GAZ}
+    surf = {
+        r[0][5:]
+        for r in out.select("subj_id").collect()
+        if r[0].startswith("surf:")
+    } | {
+        r[0][5:]
+        for r in out.select("obj_id").collect()
+        if r[0].startswith("surf:")
+    }
+    assert not (surf & aliases)
