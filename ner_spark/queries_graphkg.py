@@ -157,16 +157,27 @@ def kg_two_hop_paths(spark, sf_dir):
 def kg_entity_degree(spark, sf_dir):
     """Per-entity in/out degree over the distinct relation edge set —
     the hub/authority profile used to spot over-connected entities before
-    canonicalization. Union of two narrow projections + one groupBy:
-    map-side combinable, no self-join."""
+    canonicalization. One explode per edge row instead of a union of two
+    projections, so the edge subtree is scanned ONCE (the union form
+    duplicated the whole upstream plan); then a single map-side-combinable
+    groupBy. No self-join."""
     e = _rel_edges(spark, sf_dir)
     proj = e.select(
-        F.col("subj").alias("entity"), F.lit(1).alias("o"), F.lit(0).alias("i")
-    ).unionAll(
-        e.select(
-            F.col("obj").alias("entity"), F.lit(0).alias("o"), F.lit(1).alias("i")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("subj").alias("entity"),
+                    F.lit(1).alias("o"),
+                    F.lit(0).alias("i"),
+                ),
+                F.struct(
+                    F.col("obj").alias("entity"),
+                    F.lit(0).alias("o"),
+                    F.lit(1).alias("i"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
     return proj.groupBy("entity").agg(
         F.sum("o").alias("out_degree"), F.sum("i").alias("in_degree")
     )
