@@ -231,3 +231,97 @@ def kg_linked_triples(spark, sf_dir):
         .groupBy("subj_id", "pred", "obj_id")
         .agg(F.count(F.lit(1)).alias("n_edges"))
     )
+
+
+def _amb_gaz_rows():
+    """The ambiguous-alias dictionary from queries_kg (the 'spark' surface
+    bridges E_spark and E_spark_person), reused so S6 merging is
+    non-trivial — the flagship gazetteer's aliases are all unique, which
+    would make canonicalization an identity map."""
+    from .queries_kg import _GAZ_ROWS
+
+    return _GAZ_ROWS
+
+
+def _amb_gaz_sql() -> str:
+    return ", ".join(f"('{e}', '{a}')" for e, a, _n, _l, _w in _amb_gaz_rows())
+
+
+@query(
+    "kg_canonical_edges",
+    f"""
+    WITH {_TRI}, {_EDGES},
+    m AS (
+      SELECT substr(node, 6) AS alias, canonical FROM (
+        WITH RECURSIVE
+        gaz(entity_id, alias) AS (VALUES {_amb_gaz_sql()}),
+        bip AS (
+          SELECT DISTINCT 'ent:' || entity_id AS src, 'surf:' || alias AS dst
+          FROM gaz
+        ),
+        sym AS (SELECT src, dst FROM bip UNION SELECT dst, src FROM bip),
+        reach(node, r) AS (
+          SELECT src, src FROM sym
+          UNION
+          SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node
+        )
+        SELECT node, min(r) AS canonical FROM reach GROUP BY node
+      ) WHERE node LIKE 'surf:%'
+    )
+    SELECT coalesce(ms.canonical, 'surf:' || e.subj) AS subj_id,
+           e.pred AS pred,
+           coalesce(mo.canonical, 'surf:' || e.obj) AS obj_id,
+           CAST(count(*) AS BIGINT) AS n_edges
+    FROM edges e
+    LEFT JOIN m ms ON e.subj = ms.alias
+    LEFT JOIN m mo ON e.obj = mo.alias
+    GROUP BY 1, 2, 3
+    """,
+)
+def kg_canonical_edges(spark, sf_dir):
+    """S4 -> S6 stitched end-to-end: relation edges, surfaces resolved
+    through the ambiguous alias dictionary, coreferent entities merged by
+    the large-star/small-star connected-components operator, and the edge
+    set rewritten onto canonical ids. The CC runs over the (tiny here,
+    huge in production) alias-entity bipartite graph and its output is a
+    mapping DIMENSION broadcast onto the edge set — the edge table itself
+    never enters the iterative step, which is what keeps S6 feasible at
+    10^12 docs. Oracle recomputes components as min-reachable-node over a
+    recursive CTE, then applies the same rewrite in plain SQL."""
+    from .operators.canonicalize import connected_components
+
+    gaz = spark.createDataFrame(
+        [(e, a) for e, a, _n, _l, _w in _amb_gaz_rows()], ["entity_id", "alias"]
+    )
+    bip = gaz.select(
+        F.concat(F.lit("ent:"), F.col("entity_id")).alias("src"),
+        F.concat(F.lit("surf:"), F.col("alias")).alias("dst"),
+    ).distinct()
+    cc = connected_components(bip)
+    mapping = (
+        cc.filter(F.col("node").startswith("surf:"))
+        .select(
+            F.expr("substring(node, 6)").alias("alias"),
+            F.col("component").alias("canonical"),
+        )
+    )
+    e = _rel_edges(spark, sf_dir)
+    ms = F.broadcast(mapping.withColumnRenamed("canonical", "subj_canon"))
+    mo = F.broadcast(
+        mapping.withColumnRenamed("canonical", "obj_canon").withColumnRenamed(
+            "alias", "alias2"
+        )
+    )
+    return (
+        e.join(ms, e["subj"] == ms["alias"], "left")
+        .join(mo, e["obj"] == mo["alias2"], "left")
+        .select(
+            F.coalesce(F.col("subj_canon"), F.concat(F.lit("surf:"), F.col("subj")))
+            .alias("subj_id"),
+            "pred",
+            F.coalesce(F.col("obj_canon"), F.concat(F.lit("surf:"), F.col("obj")))
+            .alias("obj_id"),
+        )
+        .groupBy("subj_id", "pred", "obj_id")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )

@@ -95,3 +95,18 @@ def test_linked_triples_conserves_edges(spark):
         if r[0].startswith("surf:")
     }
     assert not (surf & aliases)
+
+
+def test_canonical_edges_merge_ambiguous_entities(spark):
+    """'spark' bridges E_spark and E_spark_person, so both collapse onto
+    one canonical id (the lexicographic min, ent:E_spark) and the
+    non-canonical entity id never appears; edge mass is conserved."""
+    from ner_spark.queries_graphkg import kg_canonical_edges
+
+    out = kg_canonical_edges(spark, SF)
+    ids = {
+        r[0] for r in out.select("subj_id").collect()
+    } | {r[0] for r in out.select("obj_id").collect()}
+    assert "ent:E_spark_person" not in ids
+    e_cnt = _rel_edges(spark, SF).count()
+    assert out.agg(F.sum("n_edges")).first()[0] == e_cnt
