@@ -144,8 +144,39 @@ def main(argv: list[str] | None = None) -> int:
                         "subj_entity", "canonical_id")
             )
 
-        runner.stage("s7_edges", s4, edges_transform, key="doc_uid",
-                     input_fingerprint=fp4 + fp6)
+        s7, fp7 = runner.stage("s7_edges", s4, edges_transform, key="doc_uid",
+                               input_fingerprint=fp4 + fp6)
+
+        # node table: one row per subject surface with its canonical id,
+        # instance labels, relation-edge count, and document support.
+        # Keyed (and re-bucketed) on `subj`, so every group is complete
+        # within its bucket and the aggregation is bucket-resumable — the
+        # map-side partial agg plus the bucket exchange is the whole cost.
+        def nodes_transform(edges_part):
+            from pyspark.sql import functions as F
+
+            return edges_part.groupBy("subj").agg(
+                F.coalesce(
+                    F.max("canonical_id"),
+                    F.max("subj_entity"),
+                    F.concat(F.lit("surf:"), F.first("subj")),
+                ).alias("node_id"),
+                F.concat_ws(
+                    "|",
+                    F.array_sort(
+                        F.collect_set(
+                            F.when(F.col("pred") == "instance_of", F.col("obj"))
+                        )
+                    ),
+                ).alias("labels"),
+                F.sum(
+                    (F.col("pred") != "instance_of").cast("long")
+                ).alias("n_rel_edges"),
+                F.countDistinct("doc_uid").alias("n_docs"),
+            )
+
+        runner.stage("s8_nodes", s7, nodes_transform, key="subj",
+                     input_fingerprint=fp7)
 
     # input size from the s0 manifest (avoids recomputing the input scan)
     n_docs = sum(

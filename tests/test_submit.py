@@ -40,3 +40,5 @@ def test_spark_submit_py_files_pipeline(tmp_path):
     assert stages["s0_normalize"]["rows"] == 300
     assert stages["s4_triples"]["rows"] > 0
     assert (out_dir / "s7_edges.manifest.jsonl").exists()
+    assert (out_dir / "s8_nodes.manifest.jsonl").exists()
+    assert stages["s8_nodes"]["rows"] > 0
