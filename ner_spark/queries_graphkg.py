@@ -325,3 +325,100 @@ def kg_canonical_edges(spark, sf_dir):
         .groupBy("subj_id", "pred", "obj_id")
         .agg(F.count(F.lit(1)).alias("n_edges"))
     )
+
+
+@query(
+    "kg_node_table",
+    f"""
+    WITH {_TRI},
+    gaz(alias, entity_id) AS (VALUES {_GAZ_ALIAS_SQL}),
+    m AS (
+      SELECT substr(node, 6) AS alias, canonical FROM (
+        WITH RECURSIVE
+        agaz(entity_id, alias) AS (VALUES {_amb_gaz_sql()}),
+        bip AS (
+          SELECT DISTINCT 'ent:' || entity_id AS src, 'surf:' || alias AS dst
+          FROM agaz
+        ),
+        sym AS (SELECT src, dst FROM bip UNION SELECT dst, src FROM bip),
+        reach(node, r) AS (
+          SELECT src, src FROM sym
+          UNION
+          SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node
+        )
+        SELECT node, min(r) AS canonical FROM reach GROUP BY node
+      ) WHERE node LIKE 'surf:%'
+    )
+    SELECT t.subj,
+           coalesce(m.canonical, g.entity_id, 'surf:' || t.subj) AS node_id,
+           coalesce(string_agg(DISTINCT t.obj, '|' ORDER BY t.obj)
+                      FILTER (WHERE t.pred = 'instance_of'), '') AS labels,
+           CAST(count(*) FILTER (WHERE t.pred <> 'instance_of') AS BIGINT)
+             AS n_rel_triples,
+           CAST(count(DISTINCT t.doc_uid) AS BIGINT) AS n_docs
+    FROM tri t
+    LEFT JOIN m ON t.subj = m.alias
+    LEFT JOIN gaz g ON t.subj = g.alias
+    GROUP BY t.subj, m.canonical, g.entity_id
+    """,
+)
+def kg_node_table(spark, sf_dir):
+    """The driver-contract analogue of the CLI's s8_nodes materialize
+    stage: one row per subject surface with its canonical id (ambiguous
+    alias dictionary -> CC -> broadcast mapping, falling back to the
+    linking entity id, then the surface itself), its instance labels, its
+    relation-triple count, and its document support. One groupBy on the
+    subject key — the same bucket-resumable aggregation shape s8 runs."""
+    from .operators.canonicalize import connected_components
+
+    tri = flagship_triples_vocab(spark, sf_dir)
+    gaz = spark.createDataFrame(
+        [(a, e) for e, a, _l, _w in _GAZ], ["alias", "entity_id"]
+    )
+    agaz = spark.createDataFrame(
+        [(e, a) for e, a, _n, _l, _w in _amb_gaz_rows()], ["entity_id", "alias"]
+    )
+    bip = agaz.select(
+        F.concat(F.lit("ent:"), F.col("entity_id")).alias("src"),
+        F.concat(F.lit("surf:"), F.col("alias")).alias("dst"),
+    ).distinct()
+    mapping = (
+        connected_components(bip)
+        .filter(F.col("node").startswith("surf:"))
+        .select(
+            F.expr("substring(node, 6)").alias("alias"),
+            F.col("component").alias("canonical"),
+        )
+    )
+    m = F.broadcast(mapping)
+    g = F.broadcast(gaz.withColumnRenamed("alias", "galias"))
+    return (
+        tri.join(m, tri["subj"] == m["alias"], "left")
+        .join(g, tri["subj"] == g["galias"], "left")
+        .groupBy("subj", "canonical", "entity_id")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_set(
+                        F.when(F.col("pred") == "instance_of", F.col("obj"))
+                    )
+                ),
+            ).alias("labels"),
+            F.sum((F.col("pred") != "instance_of").cast("long")).alias(
+                "n_rel_triples"
+            ),
+            F.countDistinct("doc_uid").alias("n_docs"),
+        )
+        .select(
+            "subj",
+            F.coalesce(
+                F.col("canonical"),
+                F.col("entity_id"),
+                F.concat(F.lit("surf:"), F.col("subj")),
+            ).alias("node_id"),
+            "labels",
+            "n_rel_triples",
+            "n_docs",
+        )
+    )

@@ -110,3 +110,15 @@ def test_canonical_edges_merge_ambiguous_entities(spark):
     assert "ent:E_spark_person" not in ids
     e_cnt = _rel_edges(spark, SF).count()
     assert out.agg(F.sum("n_edges")).first()[0] == e_cnt
+
+
+def test_node_table_covers_all_subjects(spark):
+    """One node row per distinct triple subject; doc support bounded by
+    the corpus; canonical id wins over entity id for ambiguous aliases."""
+    from ner_spark.queries_graphkg import kg_node_table
+
+    out = kg_node_table(spark, SF)
+    tri = flagship_triples_vocab(spark, SF)
+    assert out.count() == tri.select("subj").distinct().count()
+    spark_row = out.filter(F.col("subj") == "spark").first()
+    assert spark_row is not None and spark_row["node_id"] == "ent:E_spark"

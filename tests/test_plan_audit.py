@@ -85,6 +85,7 @@ ARROW_OK = {
     "kg_entity_degree",
     "kg_linked_triples",
     "kg_canonical_edges",
+    "kg_node_table",
     # greedy per-bucket packing fold: inherently sequential per group,
     # runs as ONE Arrow-batched applyInPandas stage per hash bucket
     "pack_training_sequences",
