@@ -422,3 +422,74 @@ def kg_node_table(spark, sf_dir):
             "n_docs",
         )
     )
+
+
+@query(
+    "kg_media_edges",
+    f"""
+    WITH {_TRI},
+    md AS (
+      SELECT printf('d%09d', doc_id) AS did,
+             'img_' || CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000) AS VARCHAR)
+               AS media_ref
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+        AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0
+    ),
+    srcmap AS (
+      SELECT printf('d%09d', doc_id) AS did,
+             min(printf('d%09d', doc_id)) OVER (
+               PARTITION BY trim(regexp_replace(text, '\\s+', ' ', 'g'))
+             ) AS doc_uid
+      FROM documents
+      WHERE text IS NOT NULL
+        AND trim(regexp_replace(text, '\\s+', ' ', 'g')) <> ''
+    ),
+    ent AS (SELECT DISTINCT doc_uid, subj FROM tri WHERE pred = 'instance_of')
+    SELECT m.media_ref, e.subj AS entity,
+           CAST(count(DISTINCT m.did) AS BIGINT) AS n_docs
+    FROM md m
+    JOIN srcmap s ON m.did = s.did
+    JOIN ent e ON s.doc_uid = e.doc_uid
+    GROUP BY 1, 2
+    """,
+)
+def kg_media_edges(spark, sf_dir):
+    """Media-ref spans as first-class KG nodes: every media span from the
+    interleaved documents gets 'appears-with' edges to the entities
+    asserted in its document, with distinct-source-doc support. The media
+    doc ids fan through the dedup uid map (clean's files_id — the same
+    fan-out the reference threads through files_id), then join the
+    instance-entity set on doc_uid; both joins are equi-joins on the doc
+    key the consensus output is already partitioned by."""
+    from .operators.clean import clean
+    from .queries import _t
+    from .queries_spans import interleaved_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    media = (
+        interleaved_spans(docs)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(
+            F.format_string("d%09d", F.col("doc_id")).alias("did"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+    from .flagship import docs_as_spans
+
+    uid_map = clean(docs_as_spans(docs)).select(
+        "doc_uid", F.explode("files_id").alias("did")
+    )
+    ent = (
+        flagship_triples_vocab(spark, sf_dir)
+        .filter(F.col("pred") == "instance_of")
+        .select("doc_uid", "subj")
+        .distinct()
+    )
+    return (
+        media.join(uid_map, "did")
+        .join(ent, "doc_uid")
+        .groupBy("media_ref", F.col("subj").alias("entity"))
+        .agg(F.countDistinct("did").alias("n_docs"))
+    )

@@ -122,3 +122,22 @@ def test_node_table_covers_all_subjects(spark):
     assert out.count() == tri.select("subj").distinct().count()
     spark_row = out.filter(F.col("subj") == "spark").first()
     assert spark_row is not None and spark_row["node_id"] == "ent:E_spark"
+
+
+def test_media_edges_fan_through_dedup(spark):
+    """Every media edge's support counts original (pre-dedup) docs, and
+    every media_ref in the interleaved corpus with a non-empty entity doc
+    appears. Media derive from md5_60(doc_id) % 4 == 0 docs only."""
+    from ner_spark.operators.dedup import md5_60
+    from ner_spark.queries import _t
+    from ner_spark.queries_graphkg import kg_media_edges
+
+    out = kg_media_edges(spark, SF)
+    assert out.count() > 0
+    docs = _t(spark, SF, "documents")
+    n_media_docs = docs.filter(
+        md5_60(F.col("doc_id").cast("string")) % 4 == 0
+    ).count()
+    # each media doc contributes to at most (its entity count) edges, and
+    # per-media support can never exceed the number of media docs
+    assert out.agg(F.max("n_docs")).first()[0] <= n_media_docs

@@ -86,6 +86,7 @@ ARROW_OK = {
     "kg_linked_triples",
     "kg_canonical_edges",
     "kg_node_table",
+    "kg_media_edges",
     # greedy per-bucket packing fold: inherently sequential per group,
     # runs as ONE Arrow-batched applyInPandas stage per hash bucket
     "pack_training_sequences",
