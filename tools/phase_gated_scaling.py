@@ -71,20 +71,37 @@ def probe_cpu(procs: int = 16, seconds: float = 2.0) -> float:
     return total / (time.time() - t0)
 
 
-def run_level(cores: int, n_docs: int, timeout: int) -> dict | None:
-    cmd = [
-        sys.executable,
-        os.path.join(ROOT, "tools", "chain_bench.py"),
-        "--cores",
-        str(cores),
-        "--n-docs",
-        str(n_docs),
-    ]
+def run_level(cores: int, n_docs: int, timeout: int, job: str = "chain") -> dict | None:
+    if job == "proto":
+        # the literal BASELINE.md protocol: the full checkpointed
+        # spark-submit-shaped job (run_pipeline.py), fresh JVM per level
+        out_dir = f"/tmp/proto_gated_{cores}"
+        subprocess.run(["rm", "-rf", out_dir], check=False)
+        cmd = [
+            sys.executable,
+            os.path.join(ROOT, "run_pipeline.py"),
+            "--n-docs",
+            str(n_docs),
+            "--out",
+            out_dir,
+            "--master",
+            f"local[{cores}]",
+        ]
+    else:
+        cmd = [
+            sys.executable,
+            os.path.join(ROOT, "tools", "chain_bench.py"),
+            "--cores",
+            str(cores),
+            "--n-docs",
+            str(n_docs),
+        ]
     try:
         out = subprocess.run(
             cmd, capture_output=True, text=True, timeout=timeout
         ).stdout.strip().splitlines()
-        return json.loads(out[-1]) if out else None
+        lines = [ln for ln in out if ln.startswith("{")]
+        return json.loads(lines[-1]) if lines else None
     except (subprocess.TimeoutExpired, json.JSONDecodeError, IndexError):
         return None
 
@@ -102,6 +119,10 @@ def main() -> int:
     p.add_argument("--budget-sec", type=int, default=5400)
     p.add_argument("--run-timeout", type=int, default=1500)
     p.add_argument("--log", default=os.path.join(ROOT, "BENCH", "phase_scaling.jsonl"))
+    p.add_argument("--job", choices=("chain", "proto"), default="chain",
+                   help="chain = in-memory engine chain; proto = full "
+                        "checkpointed run_pipeline.py job (the literal "
+                        "BASELINE.md protocol)")
     args = p.parse_args()
 
     os.makedirs(os.path.dirname(args.log), exist_ok=True)
@@ -129,7 +150,7 @@ def main() -> int:
         }
         ok = True
         for cores in (args.lo, args.hi):
-            r = run_level(cores, args.n_docs, args.run_timeout)
+            r = run_level(cores, args.n_docs, args.run_timeout, job=args.job)
             time.sleep(5)  # let the chain JVM's shutdown threads drain
             g = probe_gbps()
             c = probe_cpu(seconds=4.0)
