@@ -77,8 +77,9 @@ ARROW_OK = {
     "multimodal_resize_plan",
     "multimodal_frame_plan",
     "kg_flagship_triples",
-    # graph-analytics batch recomputes the flagship (same fused extractor
-    # UDF) per query so the driver check stays self-contained
+    # graph-analytics batch reads the session-memoized flagship triple
+    # store (flagship._TRI_MEMO); whichever query materializes it first
+    # carries the fused extractor UDF in its plan
     "kg_relation_triples",
     "kg_triple_support",
     "kg_two_hop_paths",
