@@ -71,11 +71,23 @@ def probe_cpu(procs: int = 16, seconds: float = 2.0) -> float:
     return total / (time.time() - t0)
 
 
-def run_level(cores: int, n_docs: int, timeout: int, job: str = "chain") -> dict | None:
+def run_level(
+    cores: int,
+    n_docs: int,
+    timeout: int,
+    job: str = "chain",
+    out_base: str = "/tmp",
+    local_dirs: str | None = None,
+) -> dict | None:
+    env = None
+    if local_dirs:
+        # route shuffle/spill to the given dirs (e.g. tmpfs) — models each
+        # executor's local NVMe instead of this VM's single shared virtio disk
+        env = {**os.environ, "SPARK_LOCAL_DIRS": local_dirs}
     if job == "proto":
         # the literal BASELINE.md protocol: the full checkpointed
         # spark-submit-shaped job (run_pipeline.py), fresh JVM per level
-        out_dir = f"/tmp/proto_gated_{cores}"
+        out_dir = f"{out_base}/proto_gated_{cores}"
         subprocess.run(["rm", "-rf", out_dir], check=False)
         cmd = [
             sys.executable,
@@ -98,7 +110,7 @@ def run_level(cores: int, n_docs: int, timeout: int, job: str = "chain") -> dict
         ]
     try:
         out = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=timeout
+            cmd, capture_output=True, text=True, timeout=timeout, env=env
         ).stdout.strip().splitlines()
         lines = [ln for ln in out if ln.startswith("{")]
         return json.loads(lines[-1]) if lines else None
@@ -123,6 +135,13 @@ def main() -> int:
                    help="chain = in-memory engine chain; proto = full "
                         "checkpointed run_pipeline.py job (the literal "
                         "BASELINE.md protocol)")
+    p.add_argument("--out-base", default="/tmp",
+                   help="base dir for proto checkpoint output; /dev/shm "
+                        "models striped executor-local storage instead of "
+                        "the single shared virtio disk")
+    p.add_argument("--local-dirs", default=None,
+                   help="SPARK_LOCAL_DIRS for the measured job (shuffle/"
+                        "spill); pair with --out-base /dev/shm")
     args = p.parse_args()
 
     os.makedirs(os.path.dirname(args.log), exist_ok=True)
@@ -150,7 +169,14 @@ def main() -> int:
         }
         ok = True
         for cores in (args.lo, args.hi):
-            r = run_level(cores, args.n_docs, args.run_timeout, job=args.job)
+            r = run_level(
+                cores,
+                args.n_docs,
+                args.run_timeout,
+                job=args.job,
+                out_base=args.out_base,
+                local_dirs=args.local_dirs,
+            )
             time.sleep(5)  # let the chain JVM's shutdown threads drain
             g = probe_gbps()
             c = probe_cpu(seconds=4.0)
