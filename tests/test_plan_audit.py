@@ -65,6 +65,9 @@ GLOBAL_AGG_OK = {
     # three 1-row global counts (one per schema view), each fed by
     # map-side partial aggregation
     "catalog_schema_evolution",
+    # mixture-rate windows run over the |sources| dimension (20 rows),
+    # already reduced by a map-side-combined groupBy before the exchange
+    "corpus_mixture_sample",
 }
 
 # queries whose semantics require a Python stage (tolerant XML parser,
