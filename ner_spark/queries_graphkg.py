@@ -238,13 +238,15 @@ def kg_linked_triples(spark, sf_dir):
 
 
 def _amb_gaz_rows():
-    """The ambiguous-alias dictionary from queries_kg (the 'spark' surface
-    bridges E_spark and E_spark_person), reused so S6 merging is
+    """The ambiguous-alias dictionary shared with queries_kg (the 'spark'
+    surface bridges E_spark and E_spark_person), reused so S6 merging is
     non-trivial — the flagship gazetteer's aliases are all unique, which
-    would make canonicalization an identity map."""
-    from .queries_kg import _GAZ_ROWS
+    would make canonicalization an identity map. Lives in the leaf module
+    gaz_fixture so import order cannot re-enter a partially-initialized
+    queries_kg (this module's oracle strings call this at import time)."""
+    from .gaz_fixture import GAZ_ROWS
 
-    return _GAZ_ROWS
+    return GAZ_ROWS
 
 
 def _amb_gaz_sql() -> str:

@@ -385,14 +385,7 @@ def kg_excluded_names(spark, sf_dir):
 # S5 entity linking (north-star stage; blocking join + deterministic argmax)
 # ---------------------------------------------------------------------------
 
-_GAZ_ROWS = [
-    # (entity_id, alias, alias_norm, label, weight)
-    ("E_spark", "spark", "spark", "ORG", 1.0),
-    ("E_spark_person", "spark", "spark", "PER", 0.4),
-    ("E_customer", "customer", "customer", "PER", 0.8),
-    ("E_window", "window", "window", "LOC", 0.7),
-    ("E_stream", "stream", "stream", "PER", 0.3),  # label mismatch vs ORG
-]
+from .gaz_fixture import GAZ_ROWS as _GAZ_ROWS  # noqa: E402 (leaf module)
 _GAZ_SQL = ", ".join(
     f"('{e}', '{a}', '{l}', {w})" for e, a, _, l, w in _GAZ_ROWS
 )

@@ -38,18 +38,20 @@ def _cc_oracle(edges: list[tuple[str, str]]) -> dict[str, str]:
     return out
 
 
-def _run_cc(spark, edges):
+def _run_cc(spark, edges, threshold=100_000):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {
-        r["node"]: r["component"] for r in connected_components(df).collect()
+        r["node"]: r["component"]
+        for r in connected_components(df, small_graph_threshold=threshold).collect()
     }
     return got
 
 
 def test_cc_two_components_and_chain(spark):
     edges = [("b", "a"), ("c", "b"), ("e", "d")]  # chain a-b-c, pair d-e
-    got = _run_cc(spark, edges)
-    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+    want = {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+    assert _run_cc(spark, edges) == want  # driver fast path
+    assert _run_cc(spark, edges, threshold=0) == want  # distributed stars
 
 
 def test_cc_matches_union_find_on_random_graph(spark):
@@ -60,18 +62,21 @@ def test_cc_matches_union_find_on_random_graph(spark):
         for _ in range(80)
     ]
     edges = [(a, b) for a, b in edges if a != b]
-    got = _run_cc(spark, edges)
     want = _cc_oracle(edges)
-    assert got == want
+    # both execution paths must agree with the union-find oracle
+    assert _run_cc(spark, edges) == want
+    assert _run_cc(spark, edges, threshold=0) == want
 
 
 def test_cc_idempotent(spark):
     edges = [("b", "a"), ("c", "b"), ("z", "c"), ("y", "x")]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    cc1 = connected_components(df)
-    # feeding the star forest back in reproduces the same assignment
+    # distributed path (threshold=0): feeding the star forest back in
+    # reproduces the same assignment
+    cc1 = connected_components(df, small_graph_threshold=0)
     cc2 = connected_components(
-        cc1.select(F.col("node").alias("src"), F.col("component").alias("dst"))
+        cc1.select(F.col("node").alias("src"), F.col("component").alias("dst")),
+        small_graph_threshold=0,
     )
     assert sorted(map(tuple, cc1.collect())) == sorted(map(tuple, cc2.collect()))
 
