@@ -181,16 +181,19 @@ def corpus_mixture_sample(spark, sf_dir):
         )
     )
     dim = d.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n_source"))
-    wall = Window.partitionBy()
-    rates = dim.select(
+    # Corpus totals as a 1-row aggregate broadcast back onto the dim table:
+    # same values the SQL oracle's `OVER ()` windows compute, but with
+    # map-side partial aggregation and no single-partition WindowExec.
+    tot = dim.agg(
+        F.sum("n_source").alias("_n_total"),
+        F.sum(F.col("w") * F.col("n_source")).alias("_w_mass"),
+    )
+    rates = dim.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_source",
         F.least(
             F.lit(1.0),
-            F.lit(_TARGET_FRAC)
-            * F.sum("n_source").over(wall)
-            * F.col("w")
-            / F.sum(F.col("w") * F.col("n_source")).over(wall),
+            F.lit(_TARGET_FRAC) * F.col("_n_total") * F.col("w") / F.col("_w_mass"),
         ).alias("rate"),
     )
     keep = F.pmod(md5_60(F.col("doc_id").cast("string")), F.lit(1000000)) < F.col(

@@ -45,6 +45,9 @@ SCALAR_NLJ_OK = {
     # every customer; Catalyst folds the constant-key equi-join to a
     # trivially-true 1-row broadcast NLJ — O(rows) at any scale
     "tpch_q22_dormant",
+    # 1-row corpus-totals aggregate broadcast onto the |sources| dim table
+    # (replaced the empty-partition WindowExec that formerly computed it)
+    "corpus_mixture_sample",
 }
 
 # global aggregates (constraint report rows, the Q15 max attach): the final
