@@ -109,13 +109,29 @@ def run_level(
             str(n_docs),
         ]
     try:
-        out = subprocess.run(
+        proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=timeout, env=env
-        ).stdout.strip().splitlines()
-        lines = [ln for ln in out if ln.startswith("{")]
+        )
+        lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
+        if not lines:
+            _save_leg_stderr(cores, proc.stderr)
         return json.loads(lines[-1]) if lines else None
-    except (subprocess.TimeoutExpired, json.JSONDecodeError, IndexError):
+    except subprocess.TimeoutExpired as e:
+        _save_leg_stderr(cores, (e.stderr or b"").decode("utf-8", "replace")
+                         if isinstance(e.stderr, bytes) else (e.stderr or ""))
         return None
+    except (json.JSONDecodeError, IndexError):
+        return None
+
+
+def _save_leg_stderr(cores: int, stderr: str) -> None:
+    """A null leg with no diagnostics is unactionable (the r3j hunt lost an
+    8-core leg to an invisible crash); keep the tail of the failed
+    subprocess's stderr next to the logs."""
+    path = os.path.join(ROOT, "BENCH", f"failed_leg_{cores}c.stderr")
+    tail = "\n".join((stderr or "").splitlines()[-120:])
+    with open(path, "w") as f:
+        f.write(tail + "\n")
 
 
 def main() -> int:
