@@ -126,6 +126,25 @@ def ngram_jaccard_pairs(
     shingles carry no dedup signal, so at corpus scale the cap loses
     nothing; ``max_df=None`` keeps the exact semantics for small inputs.
     """
+    inter = shingle_intersections(docs, n, text_col, id_col, max_df)
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def shingle_intersections(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_a, n_b, inter) for every doc pair sharing >=1 kept
+    shingle — the blocking self-join both set-overlap measures (Jaccard
+    resemblance and directional containment) finish from."""
     from pyspark import StorageLevel
 
     sh = shingled(docs, n, text_col, id_col)
@@ -152,7 +171,7 @@ def ngram_jaccard_pairs(
     n_sh = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     posting = posting.join(n_sh, "doc").persist(StorageLevel.MEMORY_AND_DISK)
     a, b = posting.alias("a"), posting.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(
             F.col("a.doc").alias("doc_a"),
@@ -162,11 +181,36 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold_pct: int = 50,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directional set containment C = |A ∩ B| / min(|A|, |B|) — the
+    asymmetric near-dup measure (Broder's "containment"): a short document
+    quoted whole inside a long one scores C=1.0 while its Jaccard
+    resemblance is tiny, so a resemblance-threshold dedup pass never sees
+    it. Same df-capped blocking join as ``ngram_jaccard_pairs``; the
+    threshold compares in exact integers (inter*100 >= min*pct), float
+    enters only in the reported rounded ratio.
+    """
+    inter = shingle_intersections(docs, n, text_col, id_col, max_df)
+    small = F.least(F.col("n_a"), F.col("n_b"))
     return (
-        inter.withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        inter.filter(F.col("inter") * 100 >= small * F.lit(threshold_pct))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "inter",
+            F.round(F.col("inter") / small, 4).alias("containment"),
+        )
     )
 
 

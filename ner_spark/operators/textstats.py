@@ -117,6 +117,74 @@ def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = 
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    k: int = 10,
+    n_query_terms: int = 8,
+    min_term_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval (Robertson/Okapi, k1=1.2 b=0.75): top-k documents per
+    query term, query terms = the corpus's ``n_query_terms`` highest-df
+    terms of length >= ``min_term_len`` (deterministic: df desc, term asc).
+
+    Exactness: with k1=12/10 and b=3/4 the length-normalized tf is the
+    integer rational 22*tf*S / (10*tf*S + 3*S + 9*dl*N) (S = corpus token
+    count, N = docs, dl = doc length) and the Lucene idf is
+    ln((2N+2)/(2df+1)) — ln is the ONLY transcendental, applied to an
+    identically-rounded double ratio in both engines; ranking uses the
+    round-6 score so rank is a function of the reported value.
+
+    Shuffle plan: one (doc,term) partial agg feeds tf, dl (per-doc sum),
+    df, and the query-term selection; query terms come from orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps, no global sort) and
+    broadcast into a semi-filtering join, so the scored relation is
+    |q-terms| * matching docs, never the full posting matrix; corpus
+    totals ride a 1-row broadcast; top-k per term is a window over the
+    tiny scored slice.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z]+"), lambda t: t != ""
+    )
+    tf = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(id_col, F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("dl").alias("__s")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        dfreq.filter(F.length("term") >= min_term_len)
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(n_query_terms)
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log((F.lit(2.0) * (F.col("__n") + 1)) / (F.lit(2) * F.col("df") + 1))
+    tfn = (F.lit(22.0) * F.col("tf") * F.col("__s")) / (
+        F.lit(10.0) * F.col("tf") * F.col("__s")
+        + F.lit(3.0) * F.col("__s")
+        + F.lit(9.0) * F.col("dl") * F.col("__n")
+    )
+    scored = scored.withColumn("score", F.round(idf * tfn, 6))
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("term", id_col, "tf", "df", "dl", "score", "rk")
+    )
+
+
 def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals: unique-word fraction plus the most
     frequent word and bigram with their mass fractions.
