@@ -48,6 +48,9 @@ SCALAR_NLJ_OK = {
     # 1-row corpus-totals aggregate broadcast onto the |sources| dim table
     # (replaced the empty-partition WindowExec that formerly computed it)
     "corpus_mixture_sample",
+    # 1-row (N docs, S tokens) corpus-totals broadcast onto the scored
+    # (query-term x doc) slice — the tfidf_topk pattern
+    "ir_bm25_topk",
 }
 
 # global aggregates (constraint report rows, the Q15 max attach): the final
