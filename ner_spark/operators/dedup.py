@@ -214,6 +214,83 @@ def containment_pairs(
     )
 
 
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 3,
+    threshold_pct: int = 80,
+    key_len: int = 64,
+    block_len: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD 1995): sort on
+    a normalized blocking key, compare each record only with the next
+    ``window-1`` records in sort order, verify candidates with exact
+    token-set Jaccard. The classic alternative to hash/LSH blocking —
+    O(docs * window) comparisons, catches near-dups whose edits are *past*
+    the key prefix (where a hash block would split them).
+
+    Scale: the sliding window is a ``lead()`` window PARTITIONED by the
+    key's ``block_len``-char prefix — never an unpartitioned global window
+    (each block sorts independently; pairs straddling a block boundary are
+    the method's documented recall trade, same as its multi-pass mitigation
+    in the literature). A pathological block (every doc starting with the
+    same 2 chars) concentrates one partition; the standard fix is another
+    pass with a different key, not salting, since the window needs true
+    sort adjacency. Verification is JVM-side set arithmetic
+    (array_intersect on pre-distincted token arrays); the threshold
+    compares in integers (inter*100 >= union*pct).
+    """
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", "")
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+        )
+    )
+    keyed = (
+        docs.filter(F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.substring(norm, 1, key_len).alias("skey"),
+            toks.alias("toks"),
+        )
+        .filter(F.col("skey") != "")
+        .withColumn("blk", F.substring("skey", 1, block_len))
+    )
+    w = Window.partitionBy("blk").orderBy("skey", "doc")
+    neigh = keyed.select(
+        "doc",
+        "toks",
+        *[F.lead("doc", i).over(w).alias(f"_d{i}") for i in range(1, window)],
+        *[F.lead("toks", i).over(w).alias(f"_t{i}") for i in range(1, window)],
+    )
+    parts = [
+        neigh.filter(F.col(f"_d{i}").isNotNull()).select(
+            F.least("doc", f"_d{i}").alias("doc_a"),
+            F.greatest("doc", f"_d{i}").alias("doc_b"),
+            F.col("toks").alias("ta"),
+            F.col(f"_t{i}").alias("tb"),
+        )
+        for i in range(1, window)
+    ]
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    inter = F.size(F.array_intersect("ta", "tb"))
+    scored = pairs.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("inter"),
+        (F.size("ta") + F.size("tb") - inter).alias("uni"),
+    ).distinct()
+    return (
+        scored.filter(F.col("inter") * 100 >= F.col("uni") * F.lit(threshold_pct))
+        .select("doc_a", "doc_b", F.round(F.col("inter") / F.col("uni"), 4).alias("jaccard"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     k: int = 32,
