@@ -241,20 +241,48 @@ def sorted_neighborhood_pairs(
     (array_intersect on pre-distincted token arrays); the threshold
     compares in integers (inter*100 >= union*pct).
     """
-    from pyspark.sql import Window
-
-    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", "")
     toks = F.array_distinct(
         F.filter(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
         )
     )
+    pairs = _snm_candidates(docs, window, key_len, block_len, text_col, id_col, toks)
+    inter = F.size(F.array_intersect("pa", "pb"))
+    scored = pairs.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("inter"),
+        (F.size("pa") + F.size("pb") - inter).alias("uni"),
+    ).distinct()
+    return (
+        scored.filter(F.col("inter") * 100 >= F.col("uni") * F.lit(threshold_pct))
+        .select("doc_a", "doc_b", F.round(F.col("inter") / F.col("uni"), 4).alias("jaccard"))
+    )
+
+
+def _snm_candidates(
+    docs: DataFrame,
+    window: int,
+    key_len: int,
+    block_len: int,
+    text_col: str,
+    id_col: str,
+    payload: Column,
+) -> DataFrame:
+    """Shared sorted-neighborhood candidate generator: (doc_a, doc_b, pa,
+    pb) for every pair within ``window-1`` positions in the (skey, doc)
+    sort order of each ``block_len``-char key-prefix block. ``payload`` is
+    any per-row Column the verifier needs (token set, normalized text).
+    The lead() window is block-partitioned — never global."""
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", "")
     keyed = (
         docs.filter(F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0))
         .select(
             F.col(id_col).alias("doc"),
             F.substring(norm, 1, key_len).alias("skey"),
-            toks.alias("toks"),
+            payload.alias("pay"),
         )
         .filter(F.col("skey") != "")
         .withColumn("blk", F.substring("skey", 1, block_len))
@@ -262,33 +290,61 @@ def sorted_neighborhood_pairs(
     w = Window.partitionBy("blk").orderBy("skey", "doc")
     neigh = keyed.select(
         "doc",
-        "toks",
+        "pay",
         *[F.lead("doc", i).over(w).alias(f"_d{i}") for i in range(1, window)],
-        *[F.lead("toks", i).over(w).alias(f"_t{i}") for i in range(1, window)],
+        *[F.lead("pay", i).over(w).alias(f"_p{i}") for i in range(1, window)],
     )
     parts = [
         neigh.filter(F.col(f"_d{i}").isNotNull()).select(
             F.least("doc", f"_d{i}").alias("doc_a"),
             F.greatest("doc", f"_d{i}").alias("doc_b"),
-            F.col("toks").alias("ta"),
-            F.col(f"_t{i}").alias("tb"),
+            F.col("pay").alias("pa"),
+            F.col(f"_p{i}").alias("pb"),
         )
         for i in range(1, window)
     ]
     pairs = parts[0]
     for p in parts[1:]:
         pairs = pairs.unionByName(p)
-    inter = F.size(F.array_intersect("ta", "tb"))
-    scored = pairs.select(
-        "doc_a",
-        "doc_b",
-        inter.alias("inter"),
-        (F.size("ta") + F.size("tb") - inter).alias("uni"),
-    ).distinct()
-    return (
-        scored.filter(F.col("inter") * 100 >= F.col("uni") * F.lit(threshold_pct))
-        .select("doc_a", "doc_b", F.round(F.col("inter") / F.col("uni"), 4).alias("jaccard"))
+    return pairs
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    window: int = 3,
+    max_dist: int = 16,
+    max_chars: int = 512,
+    key_len: int = 64,
+    block_len: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Levenshtein-verified near-dup pairs over the sorted-neighborhood
+    sliding window — the character-level verifier the SNM literature pairs
+    with windowed blocking, catching word-internal typo edits that the
+    token-set Jaccard verifier rounds away (one char flipped = whole token
+    lost to a set measure, but edit distance 1).
+
+    The compared payload is the ASCII-normalized text (lower, non-[a-z0-9]
+    runs collapsed to single spaces) truncated to ``max_chars`` — the
+    normalization guarantees byte==char semantics everywhere (JVM
+    levenshtein counts UTF-16 chars, other engines count bytes; on pure
+    ASCII they agree), and the cap bounds the O(len^2) DP per pair. The
+    JVM's threshold-pruned levenshtein (3-arg form, Ukkonen band) returns
+    -1 past ``max_dist``, so rejected candidates cost O(len*max_dist),
+    not O(len^2).
+    """
+    pay = F.substring(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")),
+        1,
+        max_chars,
     )
+    pairs = _snm_candidates(docs, window, key_len, block_len, text_col, id_col, pay)
+    dist = F.levenshtein(F.col("pa"), F.col("pb"), max_dist)
+    scored = pairs.select(
+        "doc_a", "doc_b", dist.cast("long").alias("dist")
+    ).distinct()
+    return scored.filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
 
 
 def minhash_signatures(

@@ -660,3 +660,107 @@ def table_bucket_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("checksums_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (hand-rolled, bit-reproducible)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256  # 2^8 buckets; md5_60 leaves a 52-bit suffix => rho in 1..53
+_HLL_NUM = 4.2399330249068963e20  # alpha_256 * m^2 * 2^53, one shared literal
+
+_HLL_SQL = f"""
+    WITH sh AS (
+      SELECT lang,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                  ELSE [array_to_string(toks, ' ')] END AS shl
+      FROM (SELECT lang, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0)
+    ),
+    flat AS (SELECT lang, unnest(shl) AS s FROM sh),
+    hashed AS (SELECT lang, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM flat),
+    rho AS (
+      SELECT lang, h & 255 AS bucket,
+             CASE WHEN (h >> 8) = 0 THEN 53
+                  ELSE 53 - length(to_base(h >> 8, 2)) END AS rho
+      FROM hashed
+    ),
+    regs AS (SELECT lang, bucket, max(rho) AS r FROM rho GROUP BY 1, 2),
+    agg AS (
+      SELECT lang, count(*) AS n_used,
+             CAST(sum(1::BIGINT << CAST(53 - r AS INT)) AS BIGINT) AS s_present
+      FROM regs GROUP BY 1
+    ),
+    ex AS (SELECT lang, count(DISTINCT s) AS n_exact FROM flat GROUP BY 1)
+    SELECT a.lang,
+           CAST({_HLL_M} - a.n_used AS BIGINT) AS n_zero,
+           CAST(a.s_present + ({_HLL_M} - a.n_used) * (1::BIGINT << 53) AS BIGINT)
+             AS s_scaled,
+           round({_HLL_NUM!r} / CAST(a.s_present
+                 + ({_HLL_M} - a.n_used) * (1::BIGINT << 53) AS DOUBLE), 4)
+             AS est_raw,
+           CAST(e.n_exact AS BIGINT) AS n_exact
+    FROM agg a JOIN ex e ON a.lang = e.lang
+"""
+
+
+@query("sketch_hll_distinct", _HLL_SQL)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled HyperLogLog (Flajolet et al. 2007) over per-lang distinct
+    3-gram shingles — the mergeable distinct sketch behind every engine's
+    approx_count_distinct, built here from first principles so the ORACLE
+    REPLAYS IT BIT-FOR-BIT (which approx_count_distinct never can: its HLL++
+    registers hash JVM-internally).
+
+    Exactness contract: register index = low 8 bits of md5_60, rho = leading
+    zeros of the 52-bit suffix + 1 (computed via binary-string length — pure
+    integer), and the harmonic sum is kept as the EXACT scaled integer
+    sum(2^(53-r)) + empty*2^53 (< 2^61, fits BIGINT) — no float enters until
+    the single final division by the shared alpha*m^2*2^53 literal. Raw
+    estimator only: inputs here are >= 2.5m (=640) distinct, outside the
+    linear-counting correction range; n_zero is emitted so a caller CAN
+    apply it. Plan: one explode -> per-(lang,bucket) max (map-side
+    combinable, 256*langs rows) -> per-lang fold; the exact n_exact column
+    (one extra distinct-aggregate) exists to make the sketch's error
+    observable in the result itself.
+    """
+    from .operators.dedup import _shingles_of, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    ).select("lang", tokens(F.col("text")).alias("_toks"))
+    flat = base.select("lang", F.explode(_shingles_of(F.col("_toks"), 3)).alias("s"))
+    h = md5_60(F.col("s"))
+    rest = F.shiftright(h, 8)
+    rho = F.when(rest == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(rest))
+    )
+    regs = (
+        flat.select("lang", h.bitwiseAND(F.lit(255)).alias("bucket"), rho.alias("rho"))
+        .groupBy("lang", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    agg = regs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")
+        ).alias("s_present"),
+    )
+    ex = flat.groupBy("lang").agg(F.countDistinct("s").alias("n_exact"))
+    s_scaled = F.col("s_present") + (F.lit(_HLL_M) - F.col("n_used")) * F.lit(
+        1 << 53
+    ).cast("long")
+    return (
+        agg.join(ex, "lang")
+        .select(
+            "lang",
+            (F.lit(_HLL_M) - F.col("n_used")).cast("long").alias("n_zero"),
+            s_scaled.cast("long").alias("s_scaled"),
+            F.round(F.lit(_HLL_NUM) / s_scaled.cast("double"), 4).alias("est_raw"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+        )
+    )

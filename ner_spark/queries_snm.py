@@ -70,6 +70,66 @@ _SNM_SQL = f"""
 """
 
 
+_ED_MAX_DIST = 16
+_ED_MAX_CHARS = 512
+
+_ED_SQL = f"""
+    WITH keyed AS (
+      SELECT doc_id AS doc,
+             substring(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'),
+                       1, {_SNM_KEY_LEN}) AS skey,
+             substring(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       1, {_ED_MAX_CHARS}) AS pay
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ),
+    blocked AS (
+      SELECT doc, skey, pay, substring(skey, 1, {_SNM_BLOCK_LEN}) AS blk
+      FROM keyed WHERE skey <> ''
+    ),
+    neigh AS (
+      SELECT doc, pay,
+             lead(doc, 1) OVER w AS d1, lead(pay, 1) OVER w AS p1,
+             lead(doc, 2) OVER w AS d2, lead(pay, 2) OVER w AS p2
+      FROM blocked
+      WINDOW w AS (PARTITION BY blk ORDER BY skey, doc)
+    ),
+    pairs AS (
+      SELECT least(doc, d1) AS doc_a, greatest(doc, d1) AS doc_b,
+             pay AS pa, p1 AS pb
+      FROM neigh WHERE d1 IS NOT NULL
+      UNION ALL
+      SELECT least(doc, d2), greatest(doc, d2), pay, p2
+      FROM neigh WHERE d2 IS NOT NULL
+    ),
+    scored AS (
+      SELECT DISTINCT doc_a, doc_b,
+             CAST(levenshtein(pa, pb) AS BIGINT) AS dist
+      FROM pairs
+    )
+    SELECT doc_a, doc_b, dist FROM scored WHERE dist <= {_ED_MAX_DIST}
+"""
+
+
+@query("dedup_edit_distance", _ED_SQL)
+def dedup_edit_distance(spark, sf_dir):
+    """Levenshtein<=16 near-dup pairs over the same sorted-neighborhood
+    window (operators/dedup.py:edit_distance_pairs). The payload is
+    ASCII-normalized so JVM char-level and byte-level levenshtein agree;
+    the engine side uses the threshold-pruned 3-arg levenshtein (Ukkonen
+    band, O(len*k) per rejected candidate)."""
+    from .operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _t(spark, sf_dir, "documents"),
+        window=_SNM_WINDOW,
+        max_dist=_ED_MAX_DIST,
+        max_chars=_ED_MAX_CHARS,
+        key_len=_SNM_KEY_LEN,
+        block_len=_SNM_BLOCK_LEN,
+    )
+
+
 @query("dedup_sorted_neighborhood", _SNM_SQL)
 def dedup_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood near-dup pairs at Jaccard>=0.8, window=3,

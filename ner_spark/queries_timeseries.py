@@ -240,3 +240,100 @@ def events_forward_fill(spark, sf_dir):
         "ts",
         F.last(v, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact truncated EWMA (dyadic weights)
+# ---------------------------------------------------------------------------
+
+_EWMA_TAPS = 8  # weights 2^7..2^0 over the last 8 observations
+
+_EWMA_SQL = """
+    WITH v AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 1000) AS BIGINT) AS v_milli
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT event_id, user_id, v_milli,
+             lag(v_milli, 1) OVER w AS l1, lag(v_milli, 2) OVER w AS l2,
+             lag(v_milli, 3) OVER w AS l3, lag(v_milli, 4) OVER w AS l4,
+             lag(v_milli, 5) OVER w AS l5, lag(v_milli, 6) OVER w AS l6,
+             lag(v_milli, 7) OVER w AS l7
+      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, v_milli,
+           CAST(128*v_milli + 64*coalesce(l1,0) + 32*coalesce(l2,0)
+              + 16*coalesce(l3,0) + 8*coalesce(l4,0) + 4*coalesce(l5,0)
+              + 2*coalesce(l6,0) + coalesce(l7,0) AS BIGINT) AS num,
+           CAST(128 + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END
+              + CASE WHEN l2 IS NULL THEN 0 ELSE 32 END
+              + CASE WHEN l3 IS NULL THEN 0 ELSE 16 END
+              + CASE WHEN l4 IS NULL THEN 0 ELSE 8 END
+              + CASE WHEN l5 IS NULL THEN 0 ELSE 4 END
+              + CASE WHEN l6 IS NULL THEN 0 ELSE 2 END
+              + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS den,
+           round(CAST(128*v_milli + 64*coalesce(l1,0) + 32*coalesce(l2,0)
+              + 16*coalesce(l3,0) + 8*coalesce(l4,0) + 4*coalesce(l5,0)
+              + 2*coalesce(l6,0) + coalesce(l7,0) AS DOUBLE)
+             / (128 + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END
+              + CASE WHEN l2 IS NULL THEN 0 ELSE 32 END
+              + CASE WHEN l3 IS NULL THEN 0 ELSE 16 END
+              + CASE WHEN l4 IS NULL THEN 0 ELSE 8 END
+              + CASE WHEN l5 IS NULL THEN 0 ELSE 4 END
+              + CASE WHEN l6 IS NULL THEN 0 ELSE 2 END
+              + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END), 4) AS ewma
+    FROM lagged
+"""
+
+
+@query("events_ewma_dyadic", _EWMA_SQL)
+def events_ewma_dyadic(spark, sf_dir):
+    """Per-user exponentially-weighted moving average with EXACT arithmetic:
+    alpha=1/2 truncated to 8 taps makes every weight a power of two, so the
+    weighted sum is a BIGINT (milli-scaled values * 2^7 ~ 1e8 per tap, far
+    inside int64) and the present-tap weight mass renormalizes short
+    prefixes — the one float operation is the final division, identical
+    IEEE-754 on both engines. The recursive EWMA form would thread a float
+    through every row (order-dependent drift, no parallel prefix); the
+    truncated convolution is 8 lag() taps over ONE user-partitioned window
+    pass — no extra shuffle beyond the per-user repartition, and the <2^-8
+    truncation tail is the documented approximation.
+    """
+    v = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("v_milli")] + [
+        F.lag("v_milli", j).over(w) for j in range(1, _EWMA_TAPS)
+    ]
+    weights = [1 << (_EWMA_TAPS - 1 - j) for j in range(_EWMA_TAPS)]
+    num = sum(
+        (F.coalesce(c, F.lit(0)) * F.lit(wt) for c, wt in zip(lags, weights)),
+        F.lit(0),
+    )
+    den = sum(
+        (F.when(c.isNotNull(), F.lit(wt)).otherwise(F.lit(0)) for c, wt in zip(lags, weights)),
+        F.lit(0),
+    )
+    return v.select(
+        "event_id",
+        "user_id",
+        "v_milli",
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+    ).select(
+        "event_id",
+        "user_id",
+        "v_milli",
+        "num",
+        "den",
+        F.round(F.col("num").cast("double") / F.col("den"), 4).alias("ewma"),
+    )
