@@ -247,6 +247,13 @@ def sorted_neighborhood_pairs(
         )
     )
     pairs = _snm_candidates(docs, window, key_len, block_len, text_col, id_col, toks)
+    return _jaccard_verify(pairs, threshold_pct)
+
+
+def _jaccard_verify(pairs: DataFrame, threshold_pct: int) -> DataFrame:
+    """Token-set Jaccard verifier over (doc_a, doc_b, pa, pb) candidates:
+    intersection/union sizes computed map-side (the token arrays never
+    cross the distinct's exchange), integer threshold compare."""
     inter = F.size(F.array_intersect("pa", "pb"))
     scored = pairs.select(
         "doc_a",
@@ -260,6 +267,40 @@ def sorted_neighborhood_pairs(
     )
 
 
+def sorted_neighborhood_multipass(
+    docs: DataFrame,
+    window: int = 3,
+    threshold_pct: int = 80,
+    key_len: int = 64,
+    block_len: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood dedup — the literature's standard fix
+    for single-pass SNM's boundary blindness (Hernández & Stolfo run
+    several passes with INDEPENDENT keys and union the matches): pass 1
+    sorts on the forward-normalized key, pass 2 on its REVERSE, so two
+    near-dups that diverge in their opening characters (different forward
+    blocks, never compared in pass 1) still land adjacent when their
+    endings agree. Candidates from both passes union BEFORE the verifier,
+    whose distinct collapses pairs found by both; cost is exactly 2x the
+    single pass (two block-partitioned window scans), still O(docs*window)
+    comparisons — never all-pairs."""
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+        )
+    )
+    fwd = _snm_candidates(docs, window, key_len, block_len, text_col, id_col, toks)
+    rev_key = F.reverse(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", "")
+    )
+    rev = _snm_candidates(
+        docs, window, key_len, block_len, text_col, id_col, toks, key_expr=rev_key
+    )
+    return _jaccard_verify(fwd.unionByName(rev), threshold_pct)
+
+
 def _snm_candidates(
     docs: DataFrame,
     window: int,
@@ -268,15 +309,22 @@ def _snm_candidates(
     text_col: str,
     id_col: str,
     payload: Column,
+    key_expr: Column | None = None,
 ) -> DataFrame:
     """Shared sorted-neighborhood candidate generator: (doc_a, doc_b, pa,
     pb) for every pair within ``window-1`` positions in the (skey, doc)
     sort order of each ``block_len``-char key-prefix block. ``payload`` is
-    any per-row Column the verifier needs (token set, normalized text).
-    The lead() window is block-partitioned — never global."""
+    any per-row Column the verifier needs (token set, normalized text);
+    ``key_expr`` overrides the default forward-normalized sort key (the
+    multi-pass variant passes the reversed key). The lead() window is
+    block-partitioned — never global."""
     from pyspark.sql import Window
 
-    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", "")
+    norm = (
+        key_expr
+        if key_expr is not None
+        else F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", "")
+    )
     keyed = (
         docs.filter(F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0))
         .select(

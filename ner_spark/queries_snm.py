@@ -70,6 +70,78 @@ _SNM_SQL = f"""
 """
 
 
+def _pass_pairs_sql(key_sql: str, tag: str) -> str:
+    """One sorted-neighborhood pass as a chain of tagged CTEs producing
+    ``pairs_{tag}``: (doc_a, doc_b, ta, tb) candidates for the given sort
+    key expression (forward or reversed normalized text)."""
+    return f"""
+    keyed_{tag} AS (
+      SELECT doc_id AS doc,
+             substring({key_sql}, 1, {_SNM_KEY_LEN}) AS skey,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               t -> t <> '')) AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ),
+    blocked_{tag} AS (
+      SELECT doc, skey, toks, substring(skey, 1, {_SNM_BLOCK_LEN}) AS blk
+      FROM keyed_{tag} WHERE skey <> ''
+    ),
+    neigh_{tag} AS (
+      SELECT doc, toks,
+             lead(doc, 1) OVER w AS d1, lead(toks, 1) OVER w AS t1,
+             lead(doc, 2) OVER w AS d2, lead(toks, 2) OVER w AS t2
+      FROM blocked_{tag}
+      WINDOW w AS (PARTITION BY blk ORDER BY skey, doc)
+    ),
+    pairs_{tag} AS (
+      SELECT least(doc, d1) AS doc_a, greatest(doc, d1) AS doc_b,
+             toks AS ta, t1 AS tb
+      FROM neigh_{tag} WHERE d1 IS NOT NULL
+      UNION ALL
+      SELECT least(doc, d2), greatest(doc, d2), toks, t2
+      FROM neigh_{tag} WHERE d2 IS NOT NULL
+    )"""
+
+
+_NORM_SQL = "regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')"
+
+_SNM_MP_SQL = f"""
+    WITH {_pass_pairs_sql(_NORM_SQL, "f")},
+    {_pass_pairs_sql(f"reverse({_NORM_SQL})", "r")},
+    allp AS (SELECT * FROM pairs_f UNION ALL SELECT * FROM pairs_r),
+    scored AS (
+      SELECT DISTINCT doc_a, doc_b,
+             len(list_intersect(ta, tb)) AS inter,
+             len(ta) + len(tb) - len(list_intersect(ta, tb)) AS uni
+      FROM allp
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+    FROM scored
+    WHERE inter * 100 >= uni * {_SNM_PCT}
+"""
+
+
+@query("dedup_snm_multipass", _SNM_MP_SQL)
+def dedup_snm_multipass(spark, sf_dir):
+    """Two-pass sorted-neighborhood dedup (forward + reversed sort key) —
+    the literature's standard recall fix for single-pass block-boundary
+    blindness (operators/dedup.py:sorted_neighborhood_multipass). Both
+    passes' candidates union before one shared Jaccard verifier; the
+    verify distinct collapses pairs both passes found."""
+    from .operators.dedup import sorted_neighborhood_multipass
+
+    return sorted_neighborhood_multipass(
+        _t(spark, sf_dir, "documents"),
+        window=_SNM_WINDOW,
+        threshold_pct=_SNM_PCT,
+        key_len=_SNM_KEY_LEN,
+        block_len=_SNM_BLOCK_LEN,
+    )
+
+
 _ED_MAX_DIST = 16
 _ED_MAX_CHARS = 512
 

@@ -108,3 +108,81 @@ def test_cross_block_pairs_never_compared(spark):
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     assert sorted_neighborhood_pairs(df, threshold_pct=10).count() == 0
+
+
+class TestMultipass:
+    def test_reversed_pass_recovers_boundary_misses(self, spark):
+        from ner_spark.operators.dedup import sorted_neighborhood_multipass
+
+        rows = [
+            # 1/2: first token swapped (different forward blocks) but the
+            # long shared tail means the REVERSED keys agree -> pass-2 catch
+            (1, "apple banana cherry damson elderberry fig grapefruit kiwi"),
+            (2, "banana apple cherry damson elderberry fig grapefruit kiwi"),
+            # 3/4: forward-adjacent near-dups (pass-1 catch, regression)
+            (3, "zebra stripes align across the savanna at golden hour"),
+            (4, "zebra stripes align across the savanna at golden dusk"),
+            # 5: unrelated
+            (5, "query planner chooses hash join over sort merge join"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        single = {
+            (r.doc_a, r.doc_b)
+            for r in sorted_neighborhood_pairs(df, threshold_pct=60).collect()
+        }
+        multi = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in sorted_neighborhood_multipass(df, threshold_pct=60).collect()
+        }
+        # multipass is a strict superset of the single pass
+        assert single <= set(multi)
+        # the boundary-straddling pair is pass-2-only
+        assert (1, 2) not in single and (1, 2) in multi
+        # same token sets -> Jaccard 1.0
+        assert multi[(1, 2)] == 1.0
+        # the forward-adjacent pair survives both
+        assert (3, 4) in single and (3, 4) in multi
+
+    def test_matches_python_recompute(self, spark, corpus):
+        from ner_spark.operators.dedup import sorted_neighborhood_multipass
+
+        df = spark.createDataFrame(corpus, ["doc_id", "text"])
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in sorted_neighborhood_multipass(
+                df, window=3, threshold_pct=80
+            ).collect()
+        }
+        want = dict(_snm_python(corpus))
+        # reversed-key pass re-derived with key = norm[::-1]
+        rows_rev = [
+            (d, t) for d, t in corpus
+        ]
+        keyed = []
+        for doc, text in rows_rev:
+            if text is None or not text.strip():
+                continue
+            norm = re.sub(r"[^a-z0-9]+", "", text.lower())
+            skey = norm[::-1][:64]
+            if not skey:
+                continue
+            toks = frozenset(
+                t for t in re.split(r"[^a-z0-9]+", text.lower()) if t
+            )
+            keyed.append((skey[:2], skey, doc, toks))
+        blocks: dict[str, list] = {}
+        for blk, skey, doc, toks in keyed:
+            blocks.setdefault(blk, []).append((skey, doc, toks))
+        for blk, items in blocks.items():
+            items.sort()
+            for i, (_, doc, toks) in enumerate(items):
+                for off in (1, 2):
+                    if i + off >= len(items):
+                        break
+                    _, d2, t2 = items[i + off]
+                    a, b = min(doc, d2), max(doc, d2)
+                    inter = len(toks & t2)
+                    uni = len(toks) + len(t2) - inter
+                    if inter * 100 >= uni * 80:
+                        want[(a, b)] = round(inter / uni, 4)
+        assert got == want
