@@ -750,3 +750,83 @@ def winnow_fingerprints(
         .select("doc_id", F.expr(f"wmin div {WINNOW_POS_BITS}").alias("h40"))
         .distinct()
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    threshold_pct: int = 70,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin, Bayardo et al. WWW'07): provably every pair with shingle
+    Jaccard >= t, with the candidate join restricted to each doc's
+    (n - ceil(t*n) + 1) globally-RAREST shingles.
+
+    Why it is lossless: if J(A,B) >= t then |A ∩ B| >= t/(1+t)*(|A|+|B|)
+    >= ceil(t*|A|); removing any n_A - ceil(t*n_A) + 1 elements of A must
+    therefore leave at least one shared element — so under ANY global
+    total order the first (n_A - ceil(t*n_A) + 1) elements of A contain a
+    shared shingle, and symmetrically for B. Ordering rare-first makes
+    that prefix the cheapest possible join key set.
+
+    Scale shape: posting -> df join (shuffle on shingle, REUSED by the
+    candidate self-join), one per-doc window sort for the ranking, prefix
+    self-join volume sum(df_prefix^2) over rare shingles only (a
+    stop-shingle is only in a doc's prefix if the doc consists almost
+    entirely of stop-shingles), then candidate-pair verify against the
+    collected shingle arrays — integer Jaccard, one rounded double at the
+    edge. Unlike ngram_jaccard_pairs (df-capped, drops hot-shingle-only
+    pairs by design) this returns the EXACT threshold join output.
+    """
+    from pyspark.sql import Window
+
+    sets = shingled(docs, n, text_col, id_col)
+    posting = sets.select("doc", F.explode("sh").alias("shingle"))
+    dfq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "shingle")
+    wn = Window.partitionBy("doc")
+    ranked = (
+        posting.join(dfq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_sh", F.count(F.lit(1)).over(wn))
+    )
+    prefix_len = (
+        F.col("n_sh")
+        - ((F.lit(threshold_pct) * F.col("n_sh") + 99) / 100).cast("long")
+        + 1
+    )
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sized = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
+        )
+    )
+    uni = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return sized.filter(F.col("inter") * 100 >= uni * threshold_pct).select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_b",
+        "inter",
+        F.round(F.col("inter") / uni, 4).alias("jaccard"),
+    )

@@ -837,6 +837,7 @@ from . import queries_curation  # noqa: E402,F401
 from . import queries_packing  # noqa: E402,F401
 from . import queries_ir2  # noqa: E402,F401
 from . import queries_snm  # noqa: E402,F401
+from . import queries_relops6  # noqa: E402,F401
 
 
 _FAKE_DECODE_SQL = """

@@ -51,6 +51,9 @@ SCALAR_NLJ_OK = {
     # 1-row (N docs, S tokens) corpus-totals broadcast onto the scored
     # (query-term x doc) slice — the tfidf_topk pattern
     "ir_bm25_topk",
+    # 1-row national-total aggregate broadcast onto the per-part values
+    # (the Q11 share filter) — same O(rows) probe as tpch_q22_dormant
+    "tpch_q11",
 }
 
 # global aggregates (constraint report rows, the Q15 max attach): the final
@@ -74,6 +77,9 @@ GLOBAL_AGG_OK = {
     # mixture-rate windows run over the |sources| dimension (20 rows),
     # already reduced by a map-side-combined groupBy before the exchange
     "corpus_mixture_sample",
+    # national-total re-aggregate of the per-part sums: one pre-aggregated
+    # row per task flows through the final exchange (Q11 share filter)
+    "tpch_q11",
 }
 
 # queries whose semantics require a Python stage (tolerant XML parser,
