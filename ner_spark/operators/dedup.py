@@ -830,3 +830,54 @@ def prefix_filter_pairs(
         "inter",
         F.round(F.col("inter") / uni, 4).alias("jaccard"),
     )
+
+
+def segment_firstseen(docs: DataFrame, width: int = 16) -> DataFrame:
+    """Sub-document dedup at fixed ``width``-token segment granularity.
+
+    Splits each document's token stream into consecutive segments of
+    ``width`` tokens (the last segment may be shorter), then keeps only
+    the GLOBALLY first occurrence of each distinct segment text — the
+    survivor is pinned by min(struct(doc_id, seg_idx)), the same
+    sentinel struct-min pattern as the correction re-collapse
+    (operators/corrections.py). The corpus-wide occurrence count rides
+    along.
+
+    Scale shape: segment construction is a map-side explode (no lambda
+    HOF in an aggregate — the sequence+explode form stays in codegen);
+    the only shuffle keys on segment text, and both the struct-min and
+    the count are map-side combinable, so a hot segment (the exact
+    thing this operator collapses) partial-aggregates before the
+    exchange. The aggregate row IS the survivor — no join-back pass.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    ).select("doc_id", toks.alias("toks"))
+    idx = base.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0), ((F.size("toks") - 1) / width).cast("int")
+            )
+        ).alias("seg_idx"),
+    )
+    segs = idx.select(
+        "doc_id",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("seg_idx") * width + 1, F.lit(width)),
+            " ",
+        ).alias("seg"),
+    )
+    g = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("first_occ"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    return g.select(
+        F.col("first_occ.doc_id").alias("doc_id"),
+        F.col("first_occ.seg_idx").alias("seg_idx"),
+        "seg",
+        "n_occ",
+    )

@@ -248,3 +248,46 @@ def link_prediction_cn(
         "deg_b",
         F.round(jacc, 6).alias("nbr_jaccard"),
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient 2T / (d*(d-1)) over an
+    undirected graph (nodes with degree >= 2; T = triangles through the
+    node).
+
+    Reuses the ordered-wedge triangle enumeration of
+    :func:`triangle_counts` (each triangle found exactly once, no
+    post-hoc dedup shuffle) and the symmetric-adjacency degree count.
+    Zero-triangle nodes are preserved with a LEFT join + coalesce — the
+    coefficient's denominator d*(d-1) is exact-integer, and the single
+    IEEE division is rounded once at the edge of the query, so the
+    result replays bit-identically on any engine.
+
+    Scale shape: identical to triangle_counts (wedge join keyed on the
+    middle vertex; super-hub degree cap is the standard prefilter at
+    100 TB); the degree table is |V|-sized and joins map-side after the
+    triangle aggregate.
+    """
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    adj = e.distinct()
+    deg = (
+        adj.select(F.col("u").alias("node"))
+        .union(adj.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(e, src="u", dst="v")
+    out = deg.filter(F.col("deg") >= 2).join(tri, "node", "left")
+    n_tri = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    coeff = (F.lit(2) * n_tri) / (F.col("deg") * (F.col("deg") - 1))
+    return out.select(
+        "node",
+        F.col("deg").cast("long").alias("deg"),
+        n_tri.alias("n_triangles"),
+        F.round(coeff, 6).alias("clustering_coeff"),
+    )
