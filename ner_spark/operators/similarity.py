@@ -483,3 +483,73 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "nb_id", "adc", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def gram_power_iteration(
+    emb: DataFrame, iters: int = 3, quant: int = 100, x_scale: int = 1000
+) -> DataFrame:
+    """Top-eigenvector power iteration over the Gram matrix of the
+    embedding table, with exact integer arithmetic end to end.
+
+    Vectors are quantized to centi-units (floor(x*quant)) and exploded to
+    long format (vec_id, dim, v); the Gram matrix A = sum_vec v v^T is ONE
+    self-join on vec_id + ONE groupBy (i, j) — dims^2 rows (4096 for
+    d=64), computed distributed and then broadcast into every iteration.
+    Each round computes y = A x as a tiny join+groupBy and renormalizes
+    with sign(y) * (|y| * x_scale div max|y|): integer division of
+    NON-NEGATIVE operands, so truncation == floor on every engine and the
+    whole trajectory replays bit-identically in SQL (the same
+    exact-arithmetic discipline as embedding_kmeans_lloyd).
+
+    Scale shape: the expensive stage is the Gram groupBy — |vecs| * d^2
+    product rows, map-side combinable to d^2 before the exchange. The
+    iteration itself touches only d^2-row tables. Overflow headroom:
+    |v| <= quant, so |A_ij| <= n_vecs * quant^2 and |y| <= d * A * x_scale
+    — at 10^9 vectors with quant=100 that is ~6.4e18, so shrink quant (or
+    pre-aggregate per partition into decimal) beyond ~10^8 vectors.
+    """
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("val").cast("double") * quant).cast("long").alias("v"),
+    )
+    gram = (
+        pts.alias("a")
+        .join(pts.alias("b"), "vec_id")
+        .groupBy(
+            F.col("a.dim").alias("i"), F.col("b.dim").alias("j")
+        )
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("g"))
+        # d^2 rows, but its lineage scans every vector: persist so the
+        # x0 derivation and each of the `iters` matvecs read the tiny
+        # aggregate instead of re-running the corpus-sized groupBy
+        .persist()
+    )
+    x = (
+        gram.select(F.col("j").alias("dim"))
+        .distinct()
+        .select("dim", F.lit(x_scale).cast("long").alias("x"))
+    )
+    y = None
+    for _ in range(iters):
+        y = (
+            gram.join(
+                F.broadcast(x.select(F.col("dim").alias("j"), "x")), "j"
+            )
+            .groupBy(F.col("i").alias("dim"))
+            .agg(F.sum(F.col("g") * F.col("x")).alias("y"))
+        )
+        m = y.agg(
+            F.greatest(F.max(F.abs(F.col("y"))), F.lit(1)).alias("maxy")
+        )
+        x = y.crossJoin(F.broadcast(m)).select(
+            "dim",
+            (
+                F.when(F.col("y") < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.expr(f"(abs(y) * {x_scale}) div maxy")
+            ).cast("long").alias("x"),
+            "y",
+        )
+    return x.select("dim", "x", "y")

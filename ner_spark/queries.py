@@ -840,6 +840,7 @@ from . import queries_snm  # noqa: E402,F401
 from . import queries_relops6  # noqa: E402,F401
 from . import queries_relops7  # noqa: E402,F401
 from . import queries_relops8  # noqa: E402,F401
+from . import queries_relops9  # noqa: E402,F401
 
 
 _FAKE_DECODE_SQL = """

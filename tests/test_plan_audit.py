@@ -54,6 +54,10 @@ SCALAR_NLJ_OK = {
     # 1-row national-total aggregate broadcast onto the per-part values
     # (the Q11 share filter) — same O(rows) probe as tpch_q22_dormant
     "tpch_q11",
+    # one 1-row max|y| renormalizer per power-iteration round, attached to
+    # the d-row (64) y vector; the probe side never exceeds d rows and the
+    # global max aggregates d pre-reduced rows per task
+    "embedding_power_iteration",
 }
 
 # global aggregates (constraint report rows, the Q15 max attach): the final
