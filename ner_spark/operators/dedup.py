@@ -452,6 +452,43 @@ def minhash_signatures(
     return with_sh.select("doc", sig.alias("sig"))
 
 
+def _banded_signatures(
+    docs: DataFrame,
+    k: int,
+    bands: int,
+    n: int,
+    text_col: str,
+    id_col: str,
+    hash_mode: str,
+) -> DataFrame:
+    """(doc, band, bucket) rows: the signature split into ``bands`` band
+    keys — the LSH index layout shared by the self-join
+    (:func:`minhash_lsh_pairs`) and the asymmetric delta-vs-index probe
+    (:func:`minhash_incremental_pairs`)."""
+    assert k % bands == 0
+    r = k // bands
+    sigs = minhash_signatures(docs, k, n, text_col, id_col, hash_mode)
+
+    def bucket(bi: int):
+        sliced = F.slice("sig", bi * r + 1, r)
+        if hash_mode == "md5":
+            # string bucket key = the band slice itself (SQL-replayable)
+            return F.concat_ws(",", F.transform(sliced, lambda x: x.cast("string")))
+        return F.xxhash64(sliced).cast("string")
+
+    return sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), bucket(bi).alias("bucket"))
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = 32,
@@ -467,28 +504,7 @@ def minhash_lsh_pairs(
     100 TB-safe candidate generator. Pairs are distinct; verify with
     ngram_jaccard on the candidates if exact scores are needed.
     """
-    assert k % bands == 0
-    r = k // bands
-    sigs = minhash_signatures(docs, k, n, text_col, id_col, hash_mode)
-
-    def bucket(bi: int):
-        sliced = F.slice("sig", bi * r + 1, r)
-        if hash_mode == "md5":
-            # string bucket key = the band slice itself (SQL-replayable)
-            return F.concat_ws(",", F.transform(sliced, lambda x: x.cast("string")))
-        return F.xxhash64(sliced).cast("string")
-
-    banded = sigs.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(bi).alias("band"), bucket(bi).alias("bucket"))
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+    banded = _banded_signatures(docs, k, bands, n, text_col, id_col, hash_mode)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -880,4 +896,86 @@ def segment_firstseen(docs: DataFrame, width: int = 16) -> DataFrame:
         F.col("first_occ.seg_idx").alias("seg_idx"),
         "seg",
         "n_occ",
+    )
+
+
+def minhash_incremental_pairs(
+    docs: DataFrame,
+    delta_mod: int = 5,
+    threshold: float = 0.1,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Incremental dedup: probe a NEW ingest batch against the existing
+    corpus's MinHash index — the daily-crawl flow, where re-running the
+    full self-join over 10^12 existing docs per ingest is off the table.
+
+    The corpus splits deterministically into ``delta`` (md5 bucket
+    ``% delta_mod == 0``, modeling the new batch) and ``index`` (the
+    standing corpus). Both sides band their signatures with the SAME
+    layout (:func:`_banded_signatures`); candidates come from the
+    ASYMMETRIC band-bucket join delta -> index (no delta-delta or
+    index-index pairs — intra-batch dups are the self-join's job), then
+    exact n-gram Jaccard is verified only on candidates, exactly as
+    :func:`minhash_verified_pairs`.
+
+    Scale shape: at production the index side is a MATERIALIZED
+    (band, bucket, doc) table partitioned by band — the probe is then
+    |delta| x bands lookups against a bucketed layout with no shuffle on
+    the index side at all; here both sides derive from one table so the
+    banding shows up twice in the plan. Candidate volume is
+    O(|delta| x bands x bucket-width), never O(|corpus|^2).
+    """
+    from pyspark import StorageLevel
+
+    is_delta = (
+        F.pmod(md5_60(F.concat(F.lit("inc:"), F.col("doc").cast("string"))), F.lit(delta_mod))
+        == 0
+    )
+    banded = _banded_signatures(docs, k, bands, n, text_col, id_col, hash_mode).select(
+        "doc", "band", "bucket", is_delta.alias("is_delta")
+    )
+    d, i = banded.filter("is_delta").alias("d"), banded.filter("NOT is_delta").alias("i")
+    cand = (
+        d.join(
+            i,
+            (F.col("d.band") == F.col("i.band"))
+            & (F.col("d.bucket") == F.col("i.bucket")),
+        )
+        .select(F.col("d.doc").alias("doc_new"), F.col("i.doc").alias("doc_idx"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh = shingled(docs, n, text_col, id_col)
+    cdocs = (
+        cand.select(F.col("doc_new").alias("doc"))
+        .unionByName(cand.select(F.col("doc_idx").alias("doc")))
+        .distinct()
+    )
+    sh = sh.join(cdocs, "doc", "left_semi").persist(StorageLevel.MEMORY_AND_DISK)
+    posting = sh.select("doc", F.explode("sh").alias("shingle"))
+    n_sh = sh.select("doc", F.size("sh").cast("long").alias("n_sh"))
+    inter = (
+        cand.join(posting.alias("pa"), F.col("doc_new") == F.col("pa.doc"))
+        .join(
+            posting.alias("pb"),
+            (F.col("doc_idx") == F.col("pb.doc"))
+            & (F.col("pa.shingle") == F.col("pb.shingle")),
+        )
+        .groupBy("doc_new", "doc_idx")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = n_sh.select(F.col("doc").alias("doc_new"), F.col("n_sh").alias("n_a"))
+    nb = n_sh.select(F.col("doc").alias("doc_idx"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(na, "doc_new")
+        .join(nb, "doc_idx")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_new", "doc_idx", "jaccard")
     )
