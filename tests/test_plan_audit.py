@@ -58,6 +58,10 @@ SCALAR_NLJ_OK = {
     # the d-row (64) y vector; the probe side never exceeds d rows and the
     # global max aggregates d pre-reduced rows per task
     "embedding_power_iteration",
+    # two 1-row scalar attaches: the corpus max(ts) recency anchor onto
+    # the per-user table, and the 6-value tercile threshold row onto the
+    # same — both O(users) probes of a single pre-aggregated row
+    "events_rfm_segments",
 }
 
 # global aggregates (constraint report rows, the Q15 max attach): the final
@@ -84,6 +88,12 @@ GLOBAL_AGG_OK = {
     # national-total re-aggregate of the per-part sums: one pre-aggregated
     # row per task flows through the final exchange (Q11 share filter)
     "tpch_q11",
+    # one-row QA scorecard by definition (TP/FP/FN over the reconciled
+    # pair sets): the final aggregate sees one partial row per task
+    "dedup_blocking_eval",
+    # 1-row global aggregates: the recency anchor and the tercile
+    # threshold row (see SCALAR_NLJ_OK entry)
+    "events_rfm_segments",
 }
 
 # queries whose semantics require a Python stage (tolerant XML parser,
