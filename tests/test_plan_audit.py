@@ -24,8 +24,9 @@ from tests.test_plans import plan_of
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# the one intentional all-pairs operator (documented exactness baseline)
-CROSS_OK = {"ann_topk_bruteforce"}
+# the intentional all-pairs operators: the labeled exactness baseline, and
+# the recall audit that embeds it as ground truth
+CROSS_OK = {"ann_topk_bruteforce", "ann_recall_eval"}
 
 # 1-row broadcast scalar attach (corpus size N): the nested-loop join's
 # build side is a single aggregated row, so it is O(rows) at any scale —
@@ -62,6 +63,9 @@ SCALAR_NLJ_OK = {
     # the per-user table, and the 6-value tercile threshold row onto the
     # same — both O(users) probes of a single pre-aggregated row
     "events_rfm_segments",
+    # embeds the labeled brute-force ANN baseline as its ground truth
+    # (see CROSS_OK) — the NLJ is that baseline's, not new work
+    "ann_recall_eval",
 }
 
 # global aggregates (constraint report rows, the Q15 max attach): the final
