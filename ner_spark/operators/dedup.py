@@ -27,6 +27,27 @@ def tokens(col):
     return F.split(F.trim(col), r"\s+")
 
 
+def explode_ne(col) -> Column:
+    """``explode`` for arrays that are provably non-empty.
+
+    Uses ``explode_outer``, which is row-for-row identical to ``explode``
+    when the array is never null/empty — but is exempt from Catalyst's
+    ``InferFiltersFromGenerate`` rule. That rule synthesizes a
+    ``size(arr) > 0`` filter from an inner explode, and predicate pushdown
+    then inlines the whole array-building expression into a per-row filter
+    BELOW the projection that computes it, so expensive arrays (shingle
+    grams, banded hashes) are built twice per row — measured 17x wall on
+    contamination_check at sf0.1. Sessions built by :mod:`ner_spark.session`
+    exclude the rule outright; this helper keeps hot operators safe under
+    sessions we don't configure (e.g. the driver's).
+
+    Only use on arrays guaranteed non-empty (``shingled`` output, fixed-size
+    ``F.array(...)`` literals): for a possibly-empty array, explode drops
+    the row while this yields a null-element row.
+    """
+    return F.explode_outer(col)
+
+
 def shingles(col, n: int = 3):
     """Distinct word n-gram shingles of a text column.
 
@@ -157,7 +178,7 @@ def shingle_intersections(
     # blocks unrecoverable and fails the job — persist keeps the lineage
     # and recomputes lost blocks, at the same local cost.
     posting = (
-        sh.select("doc", F.explode("sh").alias("shingle"))
+        sh.select("doc", explode_ne("sh").alias("shingle"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if max_df is not None:

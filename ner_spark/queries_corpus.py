@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators.dedup import md5_60, shingled
+from .operators.dedup import explode_ne, md5_60, shingled
 from .oracle_minhash import minhash_cand_cte
 from .queries import _SHINGLE_SQL, _t, query
 
@@ -124,13 +124,13 @@ def contamination_check(spark, sf_dir):
     tgt_sh = shingled(docs.filter(F.col("doc_id") % 97 != 3))
     probe_sh = (
         shingled(docs.filter(F.col("doc_id") % 97 == 3))
-        .select(F.explode("sh").alias("shingle"))
+        .select(explode_ne("sh").alias("shingle"))
         .distinct()
     )
     posting = tgt_sh.select(
         "doc",
         F.size("sh").cast("long").alias("n_sh"),
-        F.explode("sh").alias("shingle"),
+        explode_ne("sh").alias("shingle"),
     )
     return (
         posting.join(F.broadcast(probe_sh), "shingle")

@@ -272,10 +272,10 @@ def doc_template_score(spark, sf_dir):
     unordered count-window on the posting list (one exchange on the
     gram), then one groupBy(doc). The template complement of
     corpus_ngram_novelty's first-seen share."""
-    from .operators.dedup import shingled
+    from .operators.dedup import explode_ne, shingled
 
     docs = _t(spark, sf_dir, "documents")
-    post = shingled(docs, 3).select("doc", F.explode("sh").alias("g"))
+    post = shingled(docs, 3).select("doc", explode_ne("sh").alias("g"))
     dfw = post.select(
         "doc", F.count(F.lit(1)).over(Window.partitionBy("g")).alias("df")
     )

@@ -62,7 +62,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .operators.dedup import shingled
+from .operators.dedup import explode_ne, shingled
 from .queries import _SHINGLE_SQL, _t, query
 
 # ---------------------------------------------------------------------------
@@ -353,7 +353,7 @@ def corpus_ngram_novelty(spark, sf_dir):
     The ingest-monitoring signal that flags when a crawl stops adding
     new content."""
     docs = _t(spark, sf_dir, "documents")
-    post = shingled(docs, 3).select("doc", F.explode("sh").alias("g"))
+    post = shingled(docs, 3).select("doc", explode_ne("sh").alias("g"))
     fd = post.select(
         "doc", F.min("doc").over(Window.partitionBy("g")).alias("first_doc")
     )

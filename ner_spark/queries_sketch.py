@@ -727,13 +727,13 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one extra distinct-aggregate) exists to make the sketch's error
     observable in the result itself.
     """
-    from .operators.dedup import _shingles_of, tokens
+    from .operators.dedup import _shingles_of, explode_ne, tokens
 
     docs = _t(spark, sf_dir, "documents")
     base = docs.filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     ).select("lang", tokens(F.col("text")).alias("_toks"))
-    flat = base.select("lang", F.explode(_shingles_of(F.col("_toks"), 3)).alias("s"))
+    flat = base.select("lang", explode_ne(_shingles_of(F.col("_toks"), 3)).alias("s"))
     h = md5_60(F.col("s"))
     rest = F.shiftright(h, 8)
     rho = F.when(rest == 0, F.lit(53)).otherwise(

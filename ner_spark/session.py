@@ -46,6 +46,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0` from every
+        # inner explode; predicate pushdown then inlines the array-building
+        # expression into a per-row filter below the Project that computes
+        # it. For posting-list explodes over shingle/banded-hash arrays the
+        # array expression is expensive (the gram builder re-reads its token
+        # input 3*n times), so every row pays the build twice — measured 17x
+        # on contamination_check at sf0.1. Our posting arrays are provably
+        # non-empty, so the inferred filter never removes a row; excluding
+        # the rule is a pure win. Hot operators ALSO use explode_outer
+        # (semantically identical on non-empty arrays, exempt from the rule)
+        # so they stay fast under sessions we don't configure.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
