@@ -81,10 +81,16 @@ def main() -> int:
 
     # registry queries (oracle-checked operator set; includes the flagship
     # KG chain, registered with its SQL oracle in queries_flagship)
+    from ner_spark.operators.scratch import release_scratch
+
     for name, fn in Qmod.Q.items():
         t0 = time.time()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        # drop the query's scratch caches (posting lists, candidate sets)
+        # so 184 queries don't accumulate pinned storage; the flagship
+        # stage memo intentionally does not register and stays cached
+        release_scratch()
 
     # KG pipeline throughput over synthetic interleaved docs
     gaz = synth.synth_gazetteer(spark)

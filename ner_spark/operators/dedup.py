@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from .scratch import scratch_persist
 
 HASH_P = 1_000_003  # prime modulus for shingle hashing
 SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit int
@@ -177,9 +178,8 @@ def shingle_intersections(
     # truncates lineage, so on a real cluster a lost executor makes its
     # blocks unrecoverable and fails the job — persist keeps the lineage
     # and recomputes lost blocks, at the same local cost.
-    posting = (
+    posting = scratch_persist(
         sh.select("doc", explode_ne("sh").alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if max_df is not None:
         hot = (
@@ -190,7 +190,7 @@ def shingle_intersections(
         )
         posting = posting.join(F.broadcast(hot), "shingle", "left_anti")
     n_sh = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    posting = posting.join(n_sh, "doc").persist(StorageLevel.MEMORY_AND_DISK)
+    posting = scratch_persist(posting.join(n_sh, "doc"))
     a, b = posting.alias("a"), posting.alias("b")
     return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
@@ -572,8 +572,8 @@ def minhash_verified_pairs(
     # three consumers of the full LSH candidate subtree; `sh` feeds the
     # posting list and the n_sh sizes. Without barriers the candidate
     # generation (the expensive half) recomputes three times per action.
-    cand = minhash_lsh_pairs(docs, k, bands, n, text_col, id_col, hash_mode).persist(
-        StorageLevel.MEMORY_AND_DISK
+    cand = scratch_persist(
+        minhash_lsh_pairs(docs, k, bands, n, text_col, id_col, hash_mode)
     )
     sh = shingled(docs, n, text_col, id_col)
     cdocs = (
@@ -581,7 +581,7 @@ def minhash_verified_pairs(
         .unionByName(cand.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    sh = sh.join(cdocs, "doc", "left_semi").persist(StorageLevel.MEMORY_AND_DISK)
+    sh = scratch_persist(sh.join(cdocs, "doc", "left_semi"))
     posting = sh.select("doc", F.explode("sh").alias("shingle"))
     n_sh = sh.select("doc", F.size("sh").cast("long").alias("n_sh"))
     inter = (
@@ -677,9 +677,7 @@ def simhash_near_pairs(
 
     # both sides of the self-join consume the fingerprint subtree — persist
     # so the hash + wide aggregation runs once, not twice
-    sh = simhash_fingerprints(docs, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = scratch_persist(simhash_fingerprints(docs, text_col, id_col))
     segs = _segment_layout(max_hamming + 1)
     segments = sh.select(
         "doc",
@@ -969,15 +967,15 @@ def minhash_incremental_pairs(
         )
         .select(F.col("d.doc").alias("doc_new"), F.col("i.doc").alias("doc_idx"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cand = scratch_persist(cand)
     sh = shingled(docs, n, text_col, id_col)
     cdocs = (
         cand.select(F.col("doc_new").alias("doc"))
         .unionByName(cand.select(F.col("doc_idx").alias("doc")))
         .distinct()
     )
-    sh = sh.join(cdocs, "doc", "left_semi").persist(StorageLevel.MEMORY_AND_DISK)
+    sh = scratch_persist(sh.join(cdocs, "doc", "left_semi"))
     posting = sh.select("doc", F.explode("sh").alias("shingle"))
     n_sh = sh.select("doc", F.size("sh").cast("long").alias("n_sh"))
     inter = (

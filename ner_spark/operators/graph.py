@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .scratch import scratch_persist
+
 UNIT = 1_000_000
 DAMP_NUM = 850_000  # 0.85 in micro-units
 BASE = UNIT - DAMP_NUM  # 0.15
@@ -50,14 +52,11 @@ def pagerank_fixedpoint(
     # e / nodes / outdeg are consumed by EVERY unrolled iteration — without
     # barriers the edge-derivation subtree recomputes iters(+2) times per
     # action (same multi-consumer pattern as minhash_verified_pairs)
-    e = edges.select(
+    e = scratch_persist(edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).cast("long").alias("w")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select("v"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ))
+    nodes = scratch_persist(
+        e.select(F.col("u").alias("node")).union(e.select("v")).distinct()
     )
     outdeg = e.groupBy("u").agg(F.sum("w").alias("outdeg"))
     rank = nodes.select("node", F.lit(UNIT).cast("long").alias("rank"))
@@ -114,11 +113,10 @@ def label_propagation(
         )
         .filter(F.col("u") != F.col("v"))
     )
-    e = (
+    e = scratch_persist(
         d.unionByName(d.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
         .groupBy("u", "v")
         .agg(F.sum("w").alias("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = e.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -164,8 +162,8 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e = scratch_persist(e)
     wedge = (
         e.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .join(
@@ -219,8 +217,8 @@ def link_prediction_cn(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e = scratch_persist(e)
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )

@@ -21,6 +21,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .scratch import scratch_persist
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -336,7 +338,7 @@ def embedding_near_dup_pairs(
     )
     # both sides of the self-join consume the banded signatures (B*r
     # interpreted-HOF dot products per row); a barrier computes them once
-    vb = _explode_bands(v, "vec", plane_sets).persist(StorageLevel.MEMORY_AND_DISK)
+    vb = scratch_persist(_explode_bands(v, "vec", plane_sets))
     a, b = vb.alias("a"), vb.alias("b")
     cand = (
         a.join(
@@ -534,11 +536,11 @@ def gram_power_iteration(
                 * F.floor(F.col("vj").cast("double") * quant).cast("long")
             ).alias("g")
         )
-        # d^2 rows, but its lineage scans every vector: persist so the
-        # x0 derivation and each of the `iters` matvecs read the tiny
-        # aggregate instead of re-running the corpus-sized groupBy
-        .persist()
     )
+    # d^2 rows, but its lineage scans every vector: persist so the
+    # x0 derivation and each of the `iters` matvecs read the tiny
+    # aggregate instead of re-running the corpus-sized groupBy
+    gram = scratch_persist(gram)
     x = (
         gram.select(F.col("j").alias("dim"))
         .distinct()

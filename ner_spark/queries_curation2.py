@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .oracle_minhash import minhash_cand_cte
+from .operators.scratch import scratch_persist
 from .queries import _SHINGLE_SQL, _t, query
 
 _CF_THRESHOLD = 0.1
@@ -144,8 +145,8 @@ def curation_flagship(spark, sf_dir):
         .groupBy(F.sha2("text", 256).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(True).alias("is_keeper"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    keepers = scratch_persist(keepers)
     kept_docs = docs.join(keepers.select("doc_id"), "doc_id", "left_semi")
     pairs = minhash_verified_pairs(
         kept_docs,
@@ -160,8 +161,8 @@ def curation_flagship(spark, sf_dir):
     near_dropped = (
         cc.filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"), F.lit(True).alias("is_near_dup"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    near_dropped = scratch_persist(near_dropped)
     n_tok = F.when(~nonempty, F.lit(0)).otherwise(
         F.size(F.split(F.trim("text"), r"\s+"))
     )

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators.scratch import scratch_persist
 from .queries import _t, query
 
 # ---------------------------------------------------------------------------
@@ -498,7 +499,7 @@ def wordgraph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("node", F.lit(0).cast("int").alias("dist"))
     # small graph re-used by every round: avoid re-deriving the tokenize +
     # explode subtree 3x per side
-    edges = edges.persist()
+    edges = scratch_persist(edges)
     for _ in range(3):
         step = (
             reached.join(edges, reached.node == edges.u)

@@ -67,6 +67,9 @@ def main() -> int:
         _t0 = _t.time()
         sdf = fn(spark, sf_dir).toPandas()
         _wall = _t.time() - _t0
+        from ner_spark.operators.scratch import release_scratch
+
+        release_scratch()  # per-query scratch caches; memoized stages stay
         if name not in oracles:
             print(f"{name:28s} rows-only rows={len(sdf)}")
             n_rowsonly += 1
