@@ -845,6 +845,7 @@ from . import queries_relops10  # noqa: E402,F401
 from . import queries_relops11  # noqa: E402,F401
 from . import queries_curation2  # noqa: E402,F401
 from . import queries_audit  # noqa: E402,F401
+from . import queries_curation3  # noqa: E402,F401
 
 
 _FAKE_DECODE_SQL = """

@@ -269,6 +269,10 @@ def register_ivf_oracle(sf_dir: str = "/root/testdata/sf0.01") -> None:
         ORACLE["ann_topk_ivfpq"] = _ivfpq_sql(sf_dir)
     except Exception:
         ORACLE.pop("ann_topk_ivfpq", None)
+    try:
+        ORACLE["dedup_semantic_prune"] = _sem_prune_sql(sf_dir)
+    except Exception:
+        ORACLE.pop("dedup_semantic_prune", None)
 
 
 # ---------------------------------------------------------------------------
@@ -495,3 +499,116 @@ def _register_ivfpq() -> None:
 
 
 _register_ivfpq()
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_prune: SemDeDup (Abbas et al. 2023, public paper) — k-means
+# cells as blocking, within-cell cosine, prune every vector that has a
+# senior near-twin. The centroid literals make the oracle data-dependent,
+# so the SQL regenerates per sf_dir alongside the IVF family.
+# ---------------------------------------------------------------------------
+
+SEM_THRESHOLD = 0.95
+
+
+def _sem_prune_sql(sf_dir: str, dim: int = 64) -> str:
+    centroids = ivf_centroids_for(sf_dir)
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    jit AS (
+      SELECT vec_id + 1000000000 AS jid,
+             list_transform(range({dim}),
+               i -> v[i + 1] + 0.05 * sin(CAST(vec_id + i AS DOUBLE))) AS jv
+      FROM base WHERE vec_id % 10 = 0
+    ),
+    e AS (SELECT * FROM base UNION ALL SELECT jid AS vec_id, jv AS v FROM jit),
+    dists AS (
+      SELECT vec_id, v, u.cell AS cell, u.d AS d
+      FROM e, UNNEST({_centroid_structs('v', centroids)}) AS t(u)
+    ),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT b.vec_id AS vec_id, a.vec_id AS keeper, a.cell AS cell,
+             round(list_cosine_similarity(a.v, b.v), 4) AS score
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {SEM_THRESHOLD}
+    )
+    SELECT vec_id, cell, keeper, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY score DESC, keeper ASC) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """
+
+
+def _dedup_semantic_prune(spark, sf_dir):
+    """SemDeDup: prune list over the jittered embedding corpus (the same
+    planted-near-dup union as embedding_near_dup, so the operator runs at
+    its designed >=0.95-cosine operating point on real sf data).
+
+    Every vector assigns to its nearest trained centroid with the same
+    narrow ``array_min(struct(d, cell))`` scan as IVF (no shuffle); the
+    only exchange is the within-cell self-join, whose blocks are bounded
+    by cell population — the SemDeDup recipe's point is that exact
+    O(block^2) cosine is affordable once k-means has shattered the corpus
+    (at 100 TB you raise the centroid count so blocks stay ~1e4 vectors;
+    the candidate volume is sum of block^2, never corpus^2). A vector is
+    pruned when a senior same-cell partner (smaller vec_id) matches at
+    cosine >= SEM_THRESHOLD; the reported keeper is the best such partner
+    (max rounded score, tie -> smallest id), matching the oracle's
+    window ordering.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import _cell_structs_sql, cosine
+    from .queries import _jittered_embeddings
+
+    centroids = ivf_centroids_for(sf_dir)
+    e = _jittered_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    st = F.expr(f"array_min({_cell_structs_sql('v', centroids)})")
+    assigned = e.select(
+        "vec_id", "v", st.alias("st")
+    ).select("vec_id", "v", F.col("st.cell").alias("cell"))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.vec_id").alias("keeper"),
+            F.col("a.cell").alias("cell"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("score"),
+        )
+        .filter(F.col("score") >= SEM_THRESHOLD)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("keeper"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "keeper", "score")
+    )
+
+
+def _register_sem_prune() -> None:
+    from .queries import Q
+
+    Q["dedup_semantic_prune"] = _dedup_semantic_prune
+    try:
+        ORACLE["dedup_semantic_prune"] = _sem_prune_sql("/root/testdata/sf0.01")
+    except Exception:
+        ORACLE.pop("dedup_semantic_prune", None)
+
+
+_register_sem_prune()

@@ -66,6 +66,9 @@ SCALAR_NLJ_OK = {
     # embeds the labeled brute-force ANN baseline as its ground truth
     # (see CROSS_OK) — the NLJ is that baseline's, not new work
     "ann_recall_eval",
+    # two 1-row corpus totals (target and raw feature counts) attached to
+    # the B-row bucket score table — O(B) probe side, B=1024
+    "corpus_importance_weights",
 }
 
 # global aggregates (constraint report rows, the Q15 max attach): the final
@@ -98,6 +101,9 @@ GLOBAL_AGG_OK = {
     # 1-row global aggregates: the recency anchor and the tercile
     # threshold row (see SCALAR_NLJ_OK entry)
     "events_rfm_segments",
+    # the two 1-row multinomial totals (see SCALAR_NLJ_OK entry): each is
+    # fed one map-side pre-aggregated row per task
+    "corpus_importance_weights",
 }
 
 # queries whose semantics require a Python stage (tolerant XML parser,
