@@ -321,3 +321,202 @@ def bpe_top_merge(spark, sf_dir):
     return cnt.join(F.broadcast(mx), cnt.cnt == mx.max_cnt).select(
         "pair", F.col("cnt").cast("bigint").alias("cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges: the full iterative BPE training loop (M rounds)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 4
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One BPE round as CTE blocks: weighted pair counts, the argmax
+    merge, and the greedy left-to-right non-overlapping application via
+    the gaps-and-islands parity trick (see bpe_train_merges)."""
+    return f""",
+    p{r} AS (
+      SELECT sym AS a, nxt AS b, sum(wc) AS cnt FROM (
+        SELECT sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt, wc
+        FROM r{r})
+      WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    w{r} AS (
+      SELECT a, b, CAST(cnt AS BIGINT) AS cnt
+      FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    m{r} AS (
+      SELECT t.*, CASE WHEN t.sym = x.a AND t.nxt = x.b THEN 1 ELSE 0 END AS mt
+      FROM (SELECT *, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+            FROM r{r}) t, w{r} x
+    ),
+    s{r} AS (
+      SELECT *, CASE WHEN mt = 1 AND
+               (pos - 1 - COALESCE(max(CASE WHEN mt = 0 THEN pos END)
+                   OVER (PARTITION BY w ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)) % 2 = 0
+               THEN 1 ELSE 0 END AS sel
+      FROM m{r}
+    ),
+    k{r} AS (
+      SELECT *, lag(sel) OVER (PARTITION BY w ORDER BY pos) AS psel FROM s{r}
+    ),
+    r{r + 1} AS (
+      SELECT w, wc, row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+             CASE WHEN sel = 1 THEN sym || nxt ELSE sym END AS sym
+      FROM k{r} WHERE COALESCE(psel, 0) = 0
+    )"""
+
+
+def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
+    blocks = "".join(_bpe_round_sql(r) for r in range(rounds))
+    final = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_round, a, b, cnt FROM w{r}" for r in range(rounds)
+    )
+    return f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                w -> length(w) >= 2)) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM words GROUP BY w),
+    r0 AS (
+      SELECT w, wc, CAST(i AS BIGINT) AS pos, substr(w, i, 1) AS sym
+      FROM vocab, UNNEST(generate_series(1, length(w))) AS t(i)
+    ){blocks}
+    {final}
+"""
+
+
+def _bpe_apply_merge(rows, win, wq):
+    """Apply one merge (a, b) greedily left-to-right, non-overlapping —
+    all window functions over the ONE (w, pos) partitioning (no extra
+    exchanges): mark matching pair starts, recover each start's island
+    parity from the running max of the last non-matching position (the
+    run of consecutive matches ending just before pos has even length
+    exactly for greedy picks), drop the consumed right symbol, renumber.
+    """
+    wrun = wq.rowsBetween(Window.unboundedPreceding, -1)
+    m = (
+        rows.crossJoin(F.broadcast(win.select("a", "b")))
+        .withColumn("nxt", F.lead("sym").over(wq))
+        .withColumn(
+            "mt",
+            ((F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b"))).cast(
+                "int"
+            ),
+        )
+        .withColumn(
+            "sel",
+            F.when(
+                (F.col("mt") == 1)
+                & (
+                    (
+                        F.col("pos")
+                        - 1
+                        - F.coalesce(
+                            F.max(
+                                F.when(F.col("mt") == 0, F.col("pos"))
+                            ).over(wrun),
+                            F.lit(0),
+                        )
+                    )
+                    % 2
+                    == 0
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("psel", F.lag("sel").over(wq))
+    )
+    kept = m.filter(F.coalesce(F.col("psel"), F.lit(0)) == 0).withColumn(
+        "osym",
+        F.when(F.col("sel") == 1, F.concat("sym", "nxt")).otherwise(F.col("sym")),
+    )
+    return kept.select(
+        "w",
+        "wc",
+        F.row_number().over(wq).cast("bigint").alias("pos"),
+        F.col("osym").alias("sym"),
+    )
+
+
+@query("bpe_train_merges", _bpe_train_sql())
+def bpe_train_merges(spark, sf_dir):
+    """The FULL BPE training loop, not just one counting round: M=4
+    iterations of (weighted pair count -> argmax merge -> greedy
+    non-overlapping merge application over the vocabulary), the whole
+    trajectory one declarative DAG with its DuckDB replay generated per
+    round (the power-iteration technique).
+
+    Scale shape: training runs at VOCABULARY grain (distinct [a-z]+
+    words weighted by corpus frequency), so per-round work is O(vocab x
+    word_len) regardless of corpus size; the corpus is touched exactly
+    once to build the weighted vocab (map-side-combined groupBy). Merge
+    application is pure window functions over the word partition key — no
+    arrays, no interpreted lambda HOFs (the round-2 cliff), no driver
+    collect; each round's winning merge is a 1-row struct-min aggregate
+    (map-side partial, never a global sort) attached by broadcast. The
+    greedy left-to-right non-overlap semantics (merge "aa" in "aaa"
+    consumes positions 1-2, not 2-3) come from island parity: number
+    consecutive matching pair-starts, keep the odd ones. Per-round state
+    persists as scratch so the M unioned winners don't re-derive the
+    shared prefix chain.
+    """
+    from .operators.scratch import scratch_persist
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda s: F.length(s) >= 2,
+            )
+        ).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    rows = (
+        vocab.select(
+            "w",
+            "wc",
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("pos"),
+        )
+        .withColumn("sym", F.col("w").substr(F.col("pos"), F.lit(1)))
+        .withColumn("pos", F.col("pos").cast("bigint"))
+    )
+    wq = Window.partitionBy("w").orderBy("pos")
+    wins = []
+    for r in range(_BPE_ROUNDS):
+        rows = scratch_persist(rows)
+        pairs = (
+            rows.withColumn("nxt", F.lead("sym").over(wq))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        win = (
+            pairs.agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("a"), F.col("b")
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("m.a").alias("a"),
+                F.col("m.b").alias("b"),
+                (-F.col("m.nc")).cast("bigint").alias("cnt"),
+            )
+        )
+        wins.append(
+            win.select(
+                F.lit(r).cast("int").alias("merge_round"), "a", "b", "cnt"
+            )
+        )
+        if r + 1 < _BPE_ROUNDS:
+            rows = _bpe_apply_merge(rows, win, wq)
+    out = wins[0]
+    for wdf in wins[1:]:
+        out = out.unionByName(wdf)
+    return out

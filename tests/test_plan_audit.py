@@ -69,6 +69,10 @@ SCALAR_NLJ_OK = {
     # two 1-row corpus totals (target and raw feature counts) attached to
     # the B-row bucket score table — O(B) probe side, B=1024
     "corpus_importance_weights",
+    # one 1-row argmax merge per BPE round, broadcast onto the
+    # vocabulary-grain symbol table (the power-iteration renormalizer
+    # pattern; probe side is O(vocab), never the corpus)
+    "bpe_train_merges",
 }
 
 # global aggregates (constraint report rows, the Q15 max attach): the final
@@ -104,6 +108,9 @@ GLOBAL_AGG_OK = {
     # the two 1-row multinomial totals (see SCALAR_NLJ_OK entry): each is
     # fed one map-side pre-aggregated row per task
     "corpus_importance_weights",
+    # one 1-row struct-min argmax aggregate per BPE round (map-side
+    # partial; one pre-reduced row per task crosses the exchange)
+    "bpe_train_merges",
 }
 
 # queries whose semantics require a Python stage (tolerant XML parser,
