@@ -200,6 +200,17 @@ def ivf_centroids_for(sf_dir: str) -> list[list[float]]:
     return _ivf_cache[sf_dir]
 
 
+def _dists_cte(src: str, centroids: list[list[float]], name: str = "dists") -> str:
+    """The ONE definition of per-vector centroid distances: the rounded
+    |c|^2 - 2*v.c rank with its (d, cell) tie-break lives here so every
+    assignment-consuming oracle (IVF, IVF-PQ coarse, k-means stats,
+    SemDeDup) replays bit-identical cells by construction."""
+    return f"""{name} AS (
+      SELECT vec_id, v, u.cell AS cell, u.d AS d
+      FROM {src}, UNNEST({_centroid_structs('v', centroids)}) AS t(u)
+    )"""
+
+
 def _centroid_structs(vec: str, centroids: list[list[float]]) -> str:
     """UNNEST-able list of {cell, dist} structs; dist is the rank-equivalent
     |c|^2 - 2*v.c rounded like the engine's _cell_dist."""
@@ -217,10 +228,7 @@ def _ivf_sql(sf_dir: str, k: int = 5) -> str:
     centroids = ivf_centroids_for(sf_dir)
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    dists AS (
-      SELECT vec_id, v, u.cell AS cell, u.d AS d
-      FROM e, UNNEST({_centroid_structs('v', centroids)}) AS t(u)
-    ),
+    {_dists_cte('e', centroids)},
     assigned AS (
       SELECT vec_id AS nb_id, v AS nb_vec, cell FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
@@ -284,10 +292,7 @@ def _kmeans_stats_sql(sf_dir: str) -> str:
     centroids = ivf_centroids_for(sf_dir)
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    dists AS (
-      SELECT vec_id, v, u.cell AS cell, u.d AS d
-      FROM e, UNNEST({_centroid_structs('v', centroids)}) AS t(u)
-    ),
+    {_dists_cte('e', centroids)},
     assigned AS (
       SELECT cell,
              CAST(floor(round(list_dot_product(v, v) + d, 4) * 10000)
@@ -431,10 +436,7 @@ def _ivfpq_sql(sf_dir: str, k: int = 5) -> str:
     adc = " + ".join(f"q.lut_{m}[c.code_{m} + 1]" for m in range(PQ_M))
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cdists AS (
-      SELECT vec_id, v, u.cell AS cell, u.d AS d
-      FROM e, UNNEST({_centroid_structs('v', centroids)}) AS t(u)
-    ),
+    {_dists_cte('e', centroids, name='cdists')},
     coded AS (
       SELECT vec_id AS nb_id, cell,
              {code_cols}
@@ -522,10 +524,7 @@ def _sem_prune_sql(sf_dir: str, dim: int = 64) -> str:
       FROM base WHERE vec_id % 10 = 0
     ),
     e AS (SELECT * FROM base UNION ALL SELECT jid AS vec_id, jv AS v FROM jit),
-    dists AS (
-      SELECT vec_id, v, u.cell AS cell, u.d AS d
-      FROM e, UNNEST({_centroid_structs('v', centroids)}) AS t(u)
-    ),
+    {_dists_cte('e', centroids)},
     assigned AS (
       SELECT vec_id, v, cell FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
@@ -567,6 +566,7 @@ def _dedup_semantic_prune(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from .operators.scratch import scratch_persist
     from .operators.similarity import _cell_structs_sql, cosine
     from .queries import _jittered_embeddings
 
@@ -575,9 +575,14 @@ def _dedup_semantic_prune(spark, sf_dir):
         "vec_id", F.col("embedding").alias("v")
     )
     st = F.expr(f"array_min({_cell_structs_sql('v', centroids)})")
-    assigned = e.select(
-        "vec_id", "v", st.alias("st")
-    ).select("vec_id", "v", F.col("st.cell").alias("cell"))
+    # both sides of the cell self-join read this — persist so the jittered
+    # union scan + 16-struct assignment runs once (house pattern: the
+    # banded-LSH operator persists its exploded bands the same way)
+    assigned = scratch_persist(
+        e.select("vec_id", "v", st.alias("st")).select(
+            "vec_id", "v", F.col("st.cell").alias("cell")
+        )
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (
         a.join(

@@ -281,12 +281,29 @@ def sample_group_reservoir(spark, sf_dir):
 # bpe_top_merge: one byte-pair-merge counting round
 # ---------------------------------------------------------------------------
 
-_BPE_SQL = f"""
-    WITH words AS (
+# the ONE definition of a "BPE word" — shared by bpe_top_merge and the
+# iterative bpe_train_merges so the two queries can never silently diverge
+_BPE_WORDS_CTE = """words AS (
       SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
                                 w -> length(w) >= 2)) AS w
       FROM documents WHERE text IS NOT NULL
-    ),
+    )"""
+
+
+def _bpe_words(docs):
+    """Exploded [a-z]{2,} words of the corpus (Spark twin of _BPE_WORDS_CTE)."""
+    return docs.filter(F.col("text").isNotNull()).select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda s: F.length(s) >= 2,
+            )
+        ).alias("w")
+    )
+
+
+_BPE_SQL = f"""
+    WITH {_BPE_WORDS_CTE},
     pairs AS (
       SELECT substr(w, i, 2) AS pair
       FROM words, UNNEST(generate_series(1, length(w) - 1)) AS t(i)
@@ -304,15 +321,7 @@ def bpe_top_merge(spark, sf_dir):
     return the winning merge(s). Pair generation is an explode of
     substring positions (declarative built-ins only); the argmax attaches
     Q15-style as a broadcast 1-row equi-join on the max count."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    words = docs.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), "[^a-z]+"),
-                lambda s: F.length(s) >= 2,
-            )
-        ).alias("w")
-    )
+    words = _bpe_words(_t(spark, sf_dir, "documents"))
     pairs = words.select(
         "w", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
     ).select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"))
@@ -375,11 +384,7 @@ def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
         f"SELECT {r} AS merge_round, a, b, cnt FROM w{r}" for r in range(rounds)
     )
     return f"""
-    WITH words AS (
-      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-                                w -> length(w) >= 2)) AS w
-      FROM documents WHERE text IS NOT NULL
-    ),
+    WITH {_BPE_WORDS_CTE},
     vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM words GROUP BY w),
     r0 AS (
       SELECT w, wc, CAST(i AS BIGINT) AS pos, substr(w, i, 1) AS sym
@@ -466,15 +471,7 @@ def bpe_train_merges(spark, sf_dir):
     """
     from .operators.scratch import scratch_persist
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    words = docs.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), "[^a-z]+"),
-                lambda s: F.length(s) >= 2,
-            )
-        ).alias("w")
-    )
+    words = _bpe_words(_t(spark, sf_dir, "documents"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
     rows = (
         vocab.select(
@@ -519,4 +516,7 @@ def bpe_train_merges(spark, sf_dir):
     out = wins[0]
     for wdf in wins[1:]:
         out = out.unionByName(wdf)
-    return out
+    # a round over an exhausted vocabulary (no adjacent pairs left) yields
+    # an all-NULL struct-min row; the oracle's LIMIT 1 over an empty pair
+    # table yields no row — drop the degenerate rows so both agree
+    return out.filter(F.col("a").isNotNull())

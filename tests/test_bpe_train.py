@@ -53,3 +53,17 @@ def test_bpe_train_matches_classic_replay(spark):
     assert got == exp
     # the merges must be distinct rules (each round eliminates its pair)
     assert len({(a, b) for _, a, b, _ in got}) == _BPE_ROUNDS
+
+
+def test_bpe_train_empty_vocab_yields_no_rows(spark, tmp_path):
+    """A corpus with no [a-z]{2,} words must yield ZERO merges (not
+    all-NULL struct-min rows) — mirrors the oracle's empty LIMIT 1."""
+    import pandas as pd
+
+    from ner_spark.queries_textmine2 import bpe_train_merges
+
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["123 456 !!", None],
+         "lang": ["en", "en"], "source": ["s", "s"], "n_chars": [10, 0]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    assert bpe_train_merges(spark, str(tmp_path)).count() == 0

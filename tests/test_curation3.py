@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 from collections import Counter, defaultdict
 
 import numpy as np
@@ -19,9 +20,23 @@ def _md5_60(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
+def _round_half_away(x: float, digits: int = 0) -> float:
+    """Mirror Spark HALF_UP / DuckDB round (Python round() is half-even)."""
+    scale = 10.0 ** digits
+    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+
 def _docs():
+    # mirror the engine filter exactly: F.trim strips SPACES only, so a
+    # tab/newline-only text passes length(trim(text)) > 0 in both engines
     d = pd.read_parquet(f"{SF}/documents.parquet")
-    return d[d.text.notna() & (d.text.str.strip() != "")]
+    return d[d.text.notna() & (d.text.str.strip(" ") != "")]
+
+
+def _engine_tokens(text: str) -> list[str]:
+    # F.split(F.trim(text), r"\s+") with Spark's limit=-1: space-trim only,
+    # and leading/trailing NON-space whitespace yields empty edge tokens
+    return re.split(r"\s+", text.strip(" "))
 
 
 def test_importance_weights_match_counter_replay(spark):
@@ -32,7 +47,7 @@ def test_importance_weights_match_counter_replay(spark):
     tgt: Counter = Counter()
     raw: Counter = Counter()
     for _, row in _docs().iterrows():
-        toks = row.text.strip().split()
+        toks = _engine_tokens(row.text)
         feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
         buckets = Counter(_md5_60(f) % _B for f in feats)
         doc_buckets[row.doc_id] = buckets
@@ -43,7 +58,7 @@ def test_importance_weights_match_counter_replay(spark):
     tot_t, tot_r = sum(tgt.values()), sum(raw.values())
     s_e6 = {
         b: int(
-            round(
+            _round_half_away(
                 (
                     math.log((tgt.get(b, 0) + 1.0) / (tot_t + _B))
                     - math.log((raw[b] + 1.0) / (tot_r + _B))
@@ -106,7 +121,7 @@ def test_semantic_prune_matches_numpy_replay(spark):
             best = None
             for keeper in members[:j]:
                 a, b = V[keeper], V[vid]
-                score = round(
+                score = _round_half_away(
                     float(a @ b) / (math.sqrt(float(a @ a)) * math.sqrt(float(b @ b))),
                     4,
                 )
