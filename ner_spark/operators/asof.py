@@ -59,6 +59,9 @@ def asof_join(
     """
     keys = list(keys)
     out_cols = list(left.columns)
+    # keep the tie column's OWN type: casting to long would silently NULL
+    # non-numeric ids (e.g. string doc ids) and destroy the documented
+    # deterministic tie-break
     tie = F.col(tie_col) if tie_col is not None else F.lit(0)
 
     # right rows sort BEFORE left rows at equal ts (side 0 < 1) so an
@@ -67,14 +70,16 @@ def asof_join(
         *keys,
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias(_SIDE),
-        tie.cast("long").alias(_TIE),
+        tie.alias(_TIE),
         F.struct(*[F.col(v) for v in values]).alias(_VALS),
     )
     l = left.select(
         "*",
         F.col(left_ts).alias("__asof_ts"),
         F.lit(1).alias(_SIDE),
-        F.lit(0).cast("long").alias(_TIE),
+        # left rows never compete on the tie key; NULL of the right's type
+        # keeps the union schema aligned for any tie column type
+        F.lit(None).cast(r.schema[_TIE].dataType).alias(_TIE),
         F.lit(None).cast(r.schema[_VALS].dataType).alias(_VALS),
     )
 

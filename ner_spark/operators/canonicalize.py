@@ -142,6 +142,13 @@ def connected_components(
             e = e_new
             break
         e, n_edges, chk = e_new, n_new, chk_new
+    else:
+        # falling through without the convergence break would label rows of
+        # one true component with DIFFERENT ids — fail loudly instead of
+        # returning a silently-inconsistent assignment
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} star rounds"
+        )
     comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = (
         comp.select(F.col("component").alias("node"))
@@ -199,7 +206,11 @@ def incremental_components(
 
 
 def salted_self_join(
-    df: DataFrame, key: str, n_salt: int = 16, payload_cols: list[str] | None = None
+    df: DataFrame,
+    key: str,
+    n_salt: int = 16,
+    payload_cols: list[str] | None = None,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Skew-defused self-join on a blocking key (north_rule's salted
     self-join for similarity edges over hot surface forms).
@@ -207,10 +218,26 @@ def salted_self_join(
     Replicates each row to ``n_salt`` buckets on the LEFT and assigns one
     deterministic bucket on the RIGHT; joining on (key, salt) splits a hot
     key's pairs across ``n_salt`` reducers instead of one. Emits each
-    unordered pair once (left id < right id).
+    unordered pair once (ordered by a per-row uid).
+
+    Pass ``id_col`` (a row-unique column) when the input can contain rows
+    with identical payloads: without it the uid is built from the payload
+    values, so two exact-duplicate rows share a uid and their pair — the
+    most similar pair possible — is silently never emitted.
     """
     payload_cols = payload_cols or [c for c in df.columns if c != key]
-    uid = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in payload_cols])
+    if id_col is not None:
+        uid = F.col(id_col).cast("string")
+    else:
+        # null-sentinel per column: bare concat_ws SKIPS nulls, which would
+        # collide ('x', NULL) with ('x', '') into one uid
+        uid = F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                for c in payload_cols
+            ],
+        )
     left = (
         df.withColumn("_uid", uid)
         .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))

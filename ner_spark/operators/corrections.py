@@ -42,13 +42,21 @@ def apply_corrections(
     (correction value wins, reference: ner_config.py:277-289) and placed
     first (reference: ner_config.py:291-302)."""
     cols = [c for c in corr_cols if c in corrections.columns]
-    # dedup correction rows on the join key with a pinned survivor
-    # (reference drops arbitrarily, ner_config.py:222)
+    # dedup correction rows on the join key with a pinned WHOLE-ROW
+    # survivor (min over the row struct): the reference keeps one whole
+    # row (drop_duplicates, ner_config.py:222), so per-column mins would
+    # synthesize a correction no human entered when duplicate rows
+    # differ column-wise with nulls
     corr = (
         corrections.filter(F.col("files_id").isNotNull())
         .groupBy("NE", "label", "files_id")
-        .agg(*[F.min(c).alias(c) for c in cols])
-        .withColumnRenamed("files_id", "fid")
+        .agg(F.min(F.struct(*[F.col(c).alias(c) for c in cols])).alias("_row"))
+        .select(
+            "NE",
+            "label",
+            F.col("files_id").alias("fid"),
+            *[F.col(f"_row.{c}").alias(c) for c in cols],
+        )
     )
 
     exploded = mentions.select(

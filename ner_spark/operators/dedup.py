@@ -167,7 +167,6 @@ def shingle_intersections(
     """(doc_a, doc_b, n_a, n_b, inter) for every doc pair sharing >=1 kept
     shingle — the blocking self-join both set-overlap measures (Jaccard
     resemblance and directional containment) finish from."""
-    from pyspark import StorageLevel
 
     sh = shingled(docs, n, text_col, id_col)
     # the posting list feeds the df-count, the anti-join, the n_sh
@@ -566,7 +565,6 @@ def minhash_verified_pairs(
     discards almost everything), then each pair counts its shingle
     intersection via an equi-join on (doc, shingle).
     """
-    from pyspark import StorageLevel
 
     # `cand` feeds cdocs (both union branches) AND the intersection join —
     # three consumers of the full LSH candidate subtree; `sh` feeds the
@@ -673,7 +671,6 @@ def simhash_near_pairs(
     Wider radii mean narrower segments (coarser buckets, more candidates) —
     the inherent SimHash selectivity/radius trade-off, now explicit.
     """
-    from pyspark import StorageLevel
 
     # both sides of the self-join consume the fingerprint subtree — persist
     # so the hash + wide aggregation runs once, not twice
@@ -715,7 +712,13 @@ def simhash_near_pairs(
     )
 
 
-WINNOW_POS_BITS = 1 << 20  # docs capped at 2^20 k-grams for the packed tie-break
+# packed tie-break key layout: h30 (< 2^30) * 2^32 + (2^32 - 1 - pos).
+# The position field must exceed any real document's k-gram count or the
+# offset goes negative and borrows into the hash field (silently wrong
+# window minima); 2^32 grams ≈ a 4-billion-token document, far above any
+# input, and the full key stays < 2^62 (BIGINT-safe in Spark and DuckDB).
+WINNOW_HASH_MOD = 1 << 30
+WINNOW_POS_BITS = 1 << 32
 
 
 def winnow_fingerprints(
@@ -763,7 +766,7 @@ def winnow_fingerprints(
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
         (F.col("n") - k + 1).alias("m"),
-        (md5_60(F.col("gram")) % (WINNOW_POS_BITS * 1024)).alias("h40"),
+        (md5_60(F.col("gram")) % WINNOW_HASH_MOD).alias("h40"),
     )
     keyed = kg.select(
         "doc_id",
@@ -817,8 +820,13 @@ def prefix_filter_pairs(
     """
     from pyspark.sql import Window
 
-    sets = shingled(docs, n, text_col, id_col)
-    posting = sets.select("doc", F.explode("sh").alias("shingle"))
+    from .scratch import scratch_persist
+
+    # four consumers read the shingle sets (posting x2 via ranked, sa, sb)
+    # and `shingled` output is provably non-empty — barrier + explode_ne,
+    # the same shield every sibling multi-consumer operator carries
+    sets = scratch_persist(shingled(docs, n, text_col, id_col))
+    posting = sets.select("doc", explode_ne(F.col("sh")).alias("shingle"))
     dfq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc").orderBy("df", "shingle")
     wn = Window.partitionBy("doc")
@@ -949,7 +957,6 @@ def minhash_incremental_pairs(
     banding shows up twice in the plan. Candidate volume is
     O(|delta| x bands x bucket-width), never O(|corpus|^2).
     """
-    from pyspark import StorageLevel
 
     is_delta = (
         F.pmod(md5_60(F.concat(F.lit("inc:"), F.col("doc").cast("string"))), F.lit(delta_mod))

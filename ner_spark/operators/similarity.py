@@ -124,8 +124,14 @@ def banded_buckets(vec_col: str, plane_sets: list[list[list[float]]]) -> Column:
 
 
 def _explode_bands(df: DataFrame, vec_col: str, plane_sets) -> DataFrame:
+    # explode_ne: banded_buckets is a fixed-size non-empty array literal, and
+    # a bare explode would let InferFiltersFromGenerate rebuild all B*r
+    # hyperplane dot products in a synthesized per-row filter under sessions
+    # not configured by ner_spark.session (see dedup.explode_ne)
+    from .dedup import explode_ne
+
     return df.select(
-        "*", F.explode(banded_buckets(vec_col, plane_sets)).alias("_bb")
+        "*", explode_ne(banded_buckets(vec_col, plane_sets)).alias("_bb")
     ).select("*", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket")).drop("_bb")
 
 
@@ -330,7 +336,6 @@ def embedding_near_dup_pairs(
     on orthogonal pairs is ~B/2^r ~ 2.3%, all killed by the exact-cosine
     verify below.
     """
-    from pyspark import StorageLevel
 
     plane_sets = band_planes(dim, bands, planes_per_band, seed)
     v = vectors.select(

@@ -23,6 +23,10 @@ FP_P = 1_000_000_007
 
 
 def token_col(col: Column) -> Column:
+    """Whitespace tokens. NB: on empty/whitespace-only text this yields
+    ``['']`` (size 1, the split semantics both engines share), so a blank
+    document scores n_tokens=1 — filter empties FIRST, as every driver
+    query and the curation funnel's empty-text gate do."""
     return F.split(F.trim(col), r"\s+")
 
 

@@ -258,7 +258,9 @@ _WIN_K = 4  # k-gram length (tokens)
 _WIN_W = 5  # winnowing window (k-grams)
 _WIN_DF_CAP = 64  # fingerprint shared by more docs than this is boilerplate
 _WIN_MIN_SHARED = 3
-_POS_BITS = 1 << 20  # docs capped at 2^20 k-grams for the packed tie-break
+# shared with the engine so the packed-key layout cannot diverge
+from .operators.dedup import WINNOW_HASH_MOD as _HASH_MOD  # noqa: E402
+from .operators.dedup import WINNOW_POS_BITS as _POS_BITS  # noqa: E402
 
 _WINNOW_SQL = f"""
     WITH b AS (
@@ -270,7 +272,7 @@ _WINNOW_SQL = f"""
     kg AS (
       SELECT doc_id, p AS pos,
              ('0x' || substr(md5(array_to_string(toks[p : p + {_WIN_K} - 1], ' ')),
-                             1, 15))::BIGINT % {_POS_BITS * 1024} AS h40,
+                             1, 15))::BIGINT % {_HASH_MOD} AS h40,
              len(toks) - {_WIN_K} + 1 AS m
       FROM b, unnest(range(1, len(toks) - {_WIN_K} + 2)) AS u(p)
     ),

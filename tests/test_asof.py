@@ -126,3 +126,21 @@ def test_asof_random_matches_bruteforce(spark):
         cands = [(ts, rid, px) for rid, rk, ts, px in rrows if rk == lk and ts <= lts]
         want = max(cands)[2] if cands else None
         assert got[lid] == want, (lid, lk, lts)
+
+
+def test_asof_string_tie_col_is_deterministic(spark):
+    """A non-numeric tie column must keep its own type: among right rows
+    tied on ts, the greatest STRING id wins (a long cast would null it
+    and break the documented tie-break)."""
+    from ner_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("u", 10)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [("u", 10, "rid_a", 1.0), ("u", 10, "rid_c", 3.0), ("u", 10, "rid_b", 2.0)],
+        ["k", "ts", "rid", "val"],
+    )
+    out = asof_join(
+        left, right, keys=["k"], values=["rid", "val"], tie_col="rid"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["rid_asof"] == "rid_c" and out[0]["val_asof"] == 3.0

@@ -140,3 +140,34 @@ def test_incremental_matches_full_recompute_on_random_graph(spark):
     want = _cc_oracle(old + delta)
     # incremental covers every node of the union graph exactly once
     assert got == want
+
+
+def test_salted_self_join_id_col_pairs_exact_duplicates(spark):
+    """Two rows with identical payloads must still pair when a row-unique
+    id_col is supplied (payload-only uids collapse exact duplicates)."""
+    rows = [("k", 1, "same"), ("k", 2, "same"), ("k", 3, "other")]
+    df = spark.createDataFrame(rows, ["block", "rid", "val"])
+    pairs = salted_self_join(
+        df, "block", n_salt=4, payload_cols=["rid", "val"], id_col="rid"
+    ).collect()
+    got = {tuple(sorted([r["rid_l"], r["rid_r"]])) for r in pairs}
+    assert got == {(1, 2), (1, 3), (2, 3)}  # includes the exact-dup pair
+
+
+def test_salted_self_join_null_vs_empty_payload_distinct(spark):
+    """(x, NULL) and (x, '') are different rows and must pair, not collide
+    into one uid (concat_ws skips nulls)."""
+    rows = [("k", "x", None), ("k", "x", "")]
+    df = spark.createDataFrame(rows, "block string, a string, b string")
+    pairs = salted_self_join(df, "block", n_salt=2, payload_cols=["a", "b"]).collect()
+    assert len(pairs) == 1
+
+
+def test_cc_raises_on_exhausted_iterations(spark):
+    """An exhausted star-round budget must fail loudly, never return a
+    silently-inconsistent labeling."""
+    import pytest as _pytest
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iter=0, small_graph_threshold=0)

@@ -349,3 +349,20 @@ def test_winnow_fingerprints_matches_reference(spark):
         i: _winnow_reference(t.split(), 4, 5) for i, t in docs if len(t.split()) >= 4
     }
     assert got == expected
+
+
+def test_winnow_key_packing_survives_large_positions():
+    """The packed tie-break key must round-trip the hash for positions far
+    beyond 2^20 grams (the old field width, where the offset went negative
+    and borrowed into the hash bits)."""
+    from ner_spark.operators.dedup import WINNOW_HASH_MOD, WINNOW_POS_BITS
+
+    for h in (0, 1, WINNOW_HASH_MOD - 1):
+        for pos in (1, (1 << 20) + 5, (1 << 21), (1 << 31)):
+            key = h * WINNOW_POS_BITS + (WINNOW_POS_BITS - 1 - pos)
+            assert key // WINNOW_POS_BITS == h
+            assert key < (1 << 62)  # BIGINT-safe in Spark and DuckDB
+    # order: same hash, larger pos -> smaller key (rightmost-min tie rule)
+    k1 = 7 * WINNOW_POS_BITS + (WINNOW_POS_BITS - 1 - (1 << 21))
+    k2 = 7 * WINNOW_POS_BITS + (WINNOW_POS_BITS - 1 - ((1 << 21) + 1))
+    assert k2 < k1

@@ -235,3 +235,32 @@ def test_training_examples_contexts_and_split(spark):
         assert r["ctx_right"] == text[pos + len(r["NE"]):pos + len(r["NE"]) + 30]
         # reconstruction: left + mention + right is a substring of the doc
         assert (r["ctx_left"] + r["NE"] + r["ctx_right"]) in text
+
+
+def test_correction_dedup_survivor_is_a_whole_row(spark):
+    """Duplicate correction rows on one key must collapse to ONE source row
+    (reference drop_duplicates keeps a whole row) — never a per-column
+    chimera mixing values from different rows."""
+    from pyspark.sql import functions as F
+
+    from ner_spark.operators.corrections import apply_corrections
+
+    mentions = spark.createDataFrame(
+        [(1, "spark", "ORG", 0, 5, ["7"])],
+        "doc_uid long, NE string, label string, start long, end long,"
+        " files_id array<string>",
+    )
+    corrections = spark.createDataFrame(
+        [
+            ("spark", "ORG", "7", "A", None),
+            ("spark", "ORG", "7", None, 9),
+        ],
+        "NE string, label string, files_id string, manual_cat string,"
+        " correct int",
+    )
+    row = apply_corrections(
+        mentions, corrections, corr_cols=("manual_cat", "correct")
+    ).collect()[0]
+    got = (row["manual_cat"], row["correct"])
+    # must equal ONE of the source rows, not the chimera ('A', 9)
+    assert got in {("A", None), (None, 9)}, got
