@@ -36,9 +36,17 @@ def _compile(gaz_rows: list[tuple], pattern_rows: list[tuple]):
     by_surface: dict[str, str] = {}
     for alias, label in gaz_rows:
         by_surface.setdefault(alias, label)
-    # longest-first so the alternation prefers "Marie Curie" over "Curie"
+    # longest-first so the alternation prefers "Marie Curie" over "Curie".
+    # An EMPTY gazetteer must compile to a never-matching pattern: the
+    # naive r"\b(?:)\b" matches zero-width at every word boundary and the
+    # by_surface lookup of '' then raises inside the executor UDF
     surfaces = sorted(by_surface, key=lambda a: (-len(a), a))
-    gaz_re = re.compile(r"\b(?:" + "|".join(re.escape(a) for a in surfaces) + r")\b")
+    if surfaces:
+        gaz_re = re.compile(
+            r"\b(?:" + "|".join(re.escape(a) for a in surfaces) + r")\b"
+        )
+    else:
+        gaz_re = re.compile(r"(?!x)x")  # matches nothing
     pats = [(pid, re.compile(rx), label) for pid, rx, label in pattern_rows]
     return gaz_re, by_surface, pats
 

@@ -207,7 +207,12 @@ def model_mentions(
             for alias, label in gaz_rows:
                 by_surface.setdefault(alias, label)
             surfaces = sorted(by_surface, key=lambda a: (-len(a), a))
-            rx = re.compile(r"\b(?:" + "|".join(re.escape(a) for a in surfaces) + r")\b")
+            if surfaces:
+                rx = re.compile(
+                    r"\b(?:" + "|".join(re.escape(a) for a in surfaces) + r")\b"
+                )
+            else:
+                rx = re.compile(r"(?!x)x")  # empty gazetteer matches nothing
             _COMPILED[key] = (rx, by_surface)
         rx, by_surface = _COMPILED[key]
         return pd.Series(

@@ -47,7 +47,6 @@ def pagerank_fixedpoint(
     (the standard simplification). Returns (node, rank) with rank in
     micro-units.
     """
-    from pyspark import StorageLevel
 
     # e / nodes / outdeg are consumed by EVERY unrolled iteration — without
     # barriers the edge-derivation subtree recomputes iters(+2) times per
@@ -102,7 +101,6 @@ def label_propagation(
     round, hence the explicit barrier (multi-consumer pattern as in
     pagerank_fixedpoint).
     """
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     d = (
@@ -153,7 +151,6 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     branches, hence the explicit barrier (same multi-consumer pattern as
     pagerank_fixedpoint above).
     """
-    from pyspark import StorageLevel
 
     e = (
         edges.select(
@@ -208,7 +205,6 @@ def link_prediction_cn(
     operators/linking.py). Degrees attach by two equi-joins keyed on the
     pair endpoints; the degree table is |V|-sized and broadcasts.
     """
-    from pyspark import StorageLevel
 
     e = (
         edges.select(

@@ -52,8 +52,16 @@ class KGPipeline:
 
     def consensus(self, clean_docs: DataFrame) -> DataFrame:
         if self.extra_sources:
+            # extend the fold order with the extra sources (registration
+            # order = rank order after the built-ins): fuse() iterates its
+            # source_order, so extras absent from it would silently never
+            # enter the union
+            by_source = self.mentions_by_source(clean_docs)
+            order = C.SOURCE_ORDER + tuple(
+                k for k in self.extra_sources if k not in C.SOURCE_ORDER
+            )
             fused = C.fuse(
-                self.mentions_by_source(clean_docs), num_partitions=self.num_partitions
+                by_source, source_order=order, num_partitions=self.num_partitions
             )
         else:
             fused = C.fuse_ranked(

@@ -120,9 +120,35 @@ class Runner:
         done = self.catalog.completed_buckets(name, fingerprint)
         if not done:
             out = compute()
-            self.catalog.write_buckets(
+            manifest = self.catalog.write_buckets(
                 out.withColumn(BUCKET_COL, F.lit(0)), name, fingerprint, stage=name
             )
+            if not manifest:
+                # a legitimately-empty result writes no parquet and hence no
+                # manifest row; without an explicit completion marker every
+                # resume would re-run the whole compute() (the per-bucket
+                # stage above handles this with its empty-bucket rows).
+                # The empty frame is rewritten UNPARTITIONED: a partitioned
+                # empty write leaves only _SUCCESS and the read-back cannot
+                # infer a schema, while the unpartitioned form writes one
+                # schema-bearing (0-row) parquet file
+                out.withColumn(BUCKET_COL, F.lit(0)).write.mode(
+                    "overwrite"
+                ).parquet(self.catalog.table_dir(name))
+                self.catalog.record(
+                    name,
+                    [
+                        {
+                            "stage": name,
+                            "table": name,
+                            "bucket": 0,
+                            "fingerprint": fingerprint,
+                            "rows": 0,
+                            "wall_ms": 0,
+                            "ts": time.time(),
+                        }
+                    ],
+                )
         result_df = self.catalog.read(self.spark, name).drop(BUCKET_COL)
         rows_written = sum(
             r["rows"]

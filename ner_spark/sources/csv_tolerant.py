@@ -36,14 +36,19 @@ def read_csv_tolerant(
     docs prescribe. Both halves stay partition-parallel scans.
     """
     full_schema = f"{schema}, {CORRUPT_COL} STRING"
-    df = (
+    from ..operators.scratch import scratch_persist
+
+    # Spark requires materializing before filtering on the corrupt column
+    # (SPARK-21610). Registered as session scratch — a bare .cache() here
+    # would pin a full copy of every scanned CSV for the session lifetime
+    # with no handle for the caller to release (the host's
+    # release_scratch() at its query boundary drops it)
+    df = scratch_persist(
         spark.read.schema(full_schema)
         .option("header", str(header).lower())
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .csv(path)
-        .cache()  # Spark requires materializing before filtering on the
-        # corrupt column (SPARK-21610); bounded by the input split
     )
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(

@@ -70,10 +70,15 @@ def read_xlsx_rows(path: str, sheet: int = 0) -> list[list]:
                     _SSML + "si"
                 )
             ]
+        # numeric sort: lexicographic would put sheet10.xml before
+        # sheet2.xml and silently return the wrong sheet for index >= 1
         sheets = sorted(
-            n
-            for n in z.namelist()
-            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            (
+                n
+                for n in z.namelist()
+                if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            ),
+            key=lambda n: int(re.search(r"sheet(\d+)\.xml$", n).group(1)),
         )
         root = ET.fromstring(z.read(sheets[sheet]))
 

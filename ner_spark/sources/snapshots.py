@@ -97,12 +97,12 @@ class SnapshotCatalog:
         cdir = os.path.join(self.table_dir(table), f"_commit={cname}")
         if os.path.isdir(cdir):  # leftover from a crashed, unpublished commit
             shutil.rmtree(cdir)
-        buckets = [
-            r[0] for r in df.select(BUCKET_COL).distinct().collect()
-        ]
         # one file per bucket dir regardless of task count (see
-        # catalog.write_buckets: N tasks x B dirs is a small-file storm)
-        df.repartition(max(len(buckets), 1), BUCKET_COL).write.mode(
+        # catalog.write_buckets: N tasks x B dirs is a small-file storm).
+        # Fixed partition count — a distinct().collect() to size it exactly
+        # would execute the whole upstream transform a SECOND time (the
+        # written bucket list is recovered from the directory glob below)
+        df.repartition(64, BUCKET_COL).write.mode(
             "overwrite"
         ).partitionBy(BUCKET_COL).parquet(cdir)
         written = sorted(
@@ -261,6 +261,12 @@ class SnapshotCatalog:
             "written_buckets": [],
             "mapping": {b: list(c) for b, c in target["mapping"].items()},
         }
+        # restore the WHOLE logical state, not just the file mapping:
+        # dropping the target's tombstones would resurrect its deleted
+        # rows, and dropping its schema would change read reconciliation
+        for carried in ("delete_key", "delete_files", "schema"):
+            if carried in target:
+                snap[carried] = target[carried]
         self._append(table, snap)
         return snap
 
@@ -276,6 +282,15 @@ class SnapshotCatalog:
         parent = self.current(table)
         if parent is None:
             raise FileNotFoundError(f"no snapshots for table {table!r}")
+        if parent.get("delete_key") not in (None, key):
+            # the reader anti-joins every tombstone file on ONE key; a
+            # second key would schema-merge the earlier files to NULL and
+            # silently disable their deletes
+            raise ValueError(
+                f"table {table!r} already carries tombstones keyed on "
+                f"{parent['delete_key']!r}; cannot add deletes keyed on "
+                f"{key!r} (compact first)"
+            )
         sid = parent["snapshot_id"] + 1
         cname = f"c{sid:06d}"
         ddir = os.path.join(self.table_dir(table), "_deletes", cname)
@@ -294,6 +309,10 @@ class SnapshotCatalog:
                 parent.get("delete_files", []) + [cname]
             ),
         }
+        # a delete does not evolve the schema — carry the parent's forward
+        # so table-schema reads reconcile identically across the delete
+        if "schema" in parent:
+            snap["schema"] = parent["schema"]
         self._append(table, snap)
         return snap
 
@@ -421,12 +440,24 @@ def cdc_diff(
     actually differ surface as updates.
     """
     changed = set(cat.changed_buckets(table, from_snapshot, to_snapshot))
-    old = cat.read(spark, table, snapshot_id=from_snapshot).filter(
-        F.col(BUCKET_COL).isin(*changed) if changed else F.lit(False)
-    )
-    new = cat.read(spark, table, snapshot_id=to_snapshot).filter(
-        F.col(BUCKET_COL).isin(*changed) if changed else F.lit(False)
-    )
+    # merge-on-read tombstones are KEY-scoped, not bucket-scoped: a pure
+    # delete snapshot changes delete_files while leaving the bucket->file
+    # mapping identical, so the bucket pruning above would hide every
+    # deleted row. When the delete set differs, diff the full reads (at
+    # scale: bucket the tombstone keys to re-localize, when the delete key
+    # is the bucket key)
+    dels_differ = cat._resolve(table, snapshot_id=from_snapshot).get(
+        "delete_files", []
+    ) != cat._resolve(table, snapshot_id=to_snapshot).get("delete_files", [])
+    old = cat.read(spark, table, snapshot_id=from_snapshot)
+    new = cat.read(spark, table, snapshot_id=to_snapshot)
+    if not dels_differ:
+        old = old.filter(
+            F.col(BUCKET_COL).isin(*changed) if changed else F.lit(False)
+        )
+        new = new.filter(
+            F.col(BUCKET_COL).isin(*changed) if changed else F.lit(False)
+        )
     cols = [c for c in new.columns if c not in (key, BUCKET_COL)]
     fp = F.md5(
         F.concat_ws(

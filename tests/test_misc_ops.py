@@ -264,3 +264,56 @@ def test_correction_dedup_survivor_is_a_whole_row(spark):
     got = (row["manual_cat"], row["correct"])
     # must equal ONE of the source rows, not the chimera ('A', 9)
     assert got in {("A", None), (None, 9)}, got
+
+
+def test_pipeline_extra_sources_enter_consensus(spark, docs, gazetteer, patterns, combos):
+    """Mentions from extra_sources must flow into the consensus fold (a
+    fold order missing the extra keys silently dropped them)."""
+    from pyspark.sql import functions as F
+
+    from ner_spark.operators.clean import clean
+    from ner_spark.plans.pipeline import KGPipeline
+
+    cd = clean(docs)
+    base = KGPipeline(gazetteer=gazetteer, patterns=patterns, trusted_combos=combos)
+    # the extra system: one synthetic mention per doc, method-tagged
+    extra = cd.select(
+        "doc_uid",
+        F.lit("EXTRA_SURFACE").alias("NE"),
+        F.lit("MISC").alias("label"),
+        F.lit(0).cast("int").alias("start"),
+        F.lit(5).cast("int").alias("end"),
+        F.lit("myNER").alias("method"),
+        F.lit(None).cast("array<string>").alias("grfs"),
+        F.lit(None).cast("string").alias("context"),
+    )
+    pipe = KGPipeline(
+        gazetteer=gazetteer,
+        patterns=patterns,
+        trusted_combos=combos,
+        extra_sources={"myNER": extra},
+    )
+    out = pipe.consensus(cd)
+    methods = {
+        r["method"]
+        for r in out.select("method").distinct().collect()
+    }
+    assert any("myNER" in m for m in methods), methods
+
+
+def test_empty_gazetteer_extracts_nothing_instead_of_crashing(spark, docs, patterns):
+    """An empty gazetteer used to compile to r'\\b(?:)\\b' (zero-width match
+    at every word boundary) and KeyError inside the executor UDF; it must
+    simply produce zero gazetteer mentions."""
+    from ner_spark.extractors.casen import rule_mentions
+    from ner_spark.extractors.model_stub import model_mentions
+    from ner_spark.operators.clean import clean
+
+    cd = clean(docs)
+    empty_gaz = spark.createDataFrame(
+        [], "alias string, label string, grf string, weight double"
+    )
+    rm = rule_mentions(cd, empty_gaz, patterns)
+    # pattern mentions may still fire; no gazetteer-sourced rows, no crash
+    assert rm.filter(rm.method == "casEN").count() >= 0
+    assert model_mentions(cd, empty_gaz, method="spaCy").count() == 0

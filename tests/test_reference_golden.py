@@ -189,3 +189,25 @@ def test_read_xlsx_records_types():
     assert isinstance(r0["hash"], int)
     assert isinstance(r0["NER"], str) and r0["NER"]
     assert set(r0) >= {"titles", "NER", "NER_label", "desc", "method", "hash"}
+
+
+def test_xlsx_sheet_index_is_numeric_not_lexicographic(tmp_path):
+    """sheet=1 must return sheet2.xml, not sheet10.xml (lexicographic
+    filename sort puts sheet10 before sheet2 for >= 10-sheet workbooks)."""
+    import zipfile
+
+    from ner_spark.sources.excel import read_xlsx_rows
+
+    path = tmp_path / "many.xlsx"
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    with zipfile.ZipFile(path, "w") as z:
+        for i in range(1, 11):
+            z.writestr(
+                f"xl/worksheets/sheet{i}.xml",
+                f'<worksheet {ns}><sheetData>'
+                f'<row r="1"><c r="A1"><v>{i * 100}</v></c></row>'
+                f"</sheetData></worksheet>",
+            )
+    assert read_xlsx_rows(str(path), sheet=0) == [[100]]
+    assert read_xlsx_rows(str(path), sheet=1) == [[200]]  # NOT sheet10's 1000
+    assert read_xlsx_rows(str(path), sheet=9) == [[1000]]

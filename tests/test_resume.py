@@ -119,3 +119,24 @@ def test_changed_input_invalidates_downstream(spark, tmp_path_factory):
                             input_fingerprint="synth:50:2")
     assert fp_a != fp_b
     assert runner2.metrics[0].computed_buckets == N_BUCKETS
+
+
+def test_global_stage_empty_result_resumes_without_recompute(spark, tmp_path_factory):
+    """A legitimately-empty global-stage output must still record
+    completion: the resume contract is zero recomputation, including for
+    stages whose correct answer is an empty table."""
+    out = tmp_path_factory.mktemp("empty_global")
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return spark.range(0).selectExpr("id as src", "id as dst")
+
+    r1 = Runner(spark=spark, catalog=Catalog(str(out)), n_buckets=N_BUCKETS)
+    df1, fp = r1.global_stage("g_empty", compute, input_fingerprint="x")
+    assert df1.count() == 0 and calls["n"] == 1
+
+    r2 = Runner(spark=spark, catalog=Catalog(str(out)), n_buckets=N_BUCKETS)
+    df2, fp2 = r2.global_stage("g_empty", compute, input_fingerprint="x")
+    assert df2.count() == 0 and fp2 == fp
+    assert calls["n"] == 1  # resume did NOT re-run the compute

@@ -289,3 +289,58 @@ def test_cdc_diff_classifies_changes(spark, tmp_path):
     ua = {int(r["k"]): r["tag"] for r in out if r["_change_type"] == "U_after"}
     ub = {int(r["k"]): r["tag"] for r in out if r["_change_type"] == "U_before"}
     assert ua[1] == "tagged" and ub[1] is None
+
+
+def test_cdc_diff_reports_pure_delete_snapshot(spark, tmp_path):
+    """A merge-on-read delete changes no bucket mapping; CDC must still
+    report the masked rows as 'D' (the tombstones are key-scoped, so the
+    bucket pruning shortcut does not apply)."""
+    from ner_spark.sources.snapshots import cdc_diff
+
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.commit(_bucketed(spark, n=20, buckets=4), "t")  # snapshot 1
+    dels = spark.range(0, 5).select(F.col("id").alias("k"))
+    cat.commit_deletes(dels, "t", key="k")  # snapshot 2
+    ch = cdc_diff(cat, spark, "t", 1, 2, "k").collect()
+    got = {(int(r["k"]), r["_change_type"]) for r in ch}
+    assert got == {(k, "D") for k in range(5)}
+
+
+def test_rollback_restores_tombstones(spark, tmp_path):
+    """Rolling back to a snapshot that carried tombstones must restore
+    them — not resurrect the deleted rows."""
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.commit(_bucketed(spark, n=20, buckets=4), "t")  # s1
+    cat.commit_deletes(
+        spark.range(0, 5).select(F.col("id").alias("k")), "t", key="k"
+    )  # s2
+    cat.commit(
+        with_bucket(
+            spark.range(100, 105).select(
+                F.col("id").alias("k"), F.lit(0).alias("v")
+            ),
+            "k",
+            4,
+        ),
+        "t",
+        mode="append",
+    )  # s3
+    cat.rollback("t", 2)  # s4 = state of s2
+    now = {int(r["k"]) for r in cat.read(spark, "t").select("k").collect()}
+    assert now == set(range(5, 20))  # deletes still applied, s3 rows gone
+
+
+def test_commit_deletes_rejects_mismatched_key(spark, tmp_path):
+    """A second tombstone set keyed on a DIFFERENT column would silently
+    disable the first one through the schema merge — must be rejected."""
+    import pytest as _pytest
+
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.commit(_bucketed(spark, n=10, buckets=2), "t")
+    cat.commit_deletes(
+        spark.range(0, 2).select(F.col("id").alias("k")), "t", key="k"
+    )
+    with _pytest.raises(ValueError, match="tombstones keyed"):
+        cat.commit_deletes(
+            spark.range(0, 2).select(F.col("id").alias("v")), "t", key="v"
+        )
