@@ -273,7 +273,12 @@ def dedup_substring_spans(spark, sf_dir):
             "sh_hash",
             "n_occ",
             "n_docs",
-            (F.col("_first") / 1000000).cast("long").alias("first_doc_id"),
+            # integer DIV, not float /: at doc_id ~ 9e9 the double quotient's
+            # ulp exceeds the 1e-6 position field and float-truncate could
+            # round into the NEXT doc id while the oracle's // stays exact.
+            # (The 1e6 packing itself caps docs at 1e6 shingle positions —
+            # ~a 1M-token document — matching the oracle's layout.)
+            F.expr("_first DIV 1000000").alias("first_doc_id"),
             (F.col("_first") % 1000000).cast("int").alias("first_pos"),
         )
     )
@@ -343,8 +348,11 @@ def mix_temperature_weights(spark, sf_dir):
 # combinable count aggregate; scoring joins the broadcast frequency table
 # and attaches the 1-row total with a broadcast scalar join (same pattern
 # as tfidf_topk / mix_temperature_weights). ln on both engines sees the
-# IDENTICAL double (one exact-rounded division first), so the 4dp-rounded
-# mean is engine-stable.
+# IDENTICAL double (one exact-rounded division first); each per-token ln
+# is then rounded to integer micro-nats BEFORE summing (the DSIR trick),
+# so the per-doc total is an order-free BIGINT sum and the final mean is
+# ONE identical division — a float avg() would accumulate in partition
+# order and could flip the 4th decimal at a rounding boundary.
 # ---------------------------------------------------------------------------
 
 _SURPRISAL_SQL = """
@@ -354,11 +362,16 @@ WITH tok AS (
 ),
 freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
 tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq)
-SELECT k.doc_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(ln(tot.n / f.c)), 4) AS surprisal
-FROM tok k JOIN freq f ON k.t = f.t, tot
-GROUP BY k.doc_id
+SELECT doc_id, n_tokens,
+       round((s_e6 / n_tokens) / 1000000.0, 4) AS surprisal
+FROM (
+  SELECT k.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(round(ln(tot.n / f.c) * 1000000) AS BIGINT))
+              AS BIGINT) AS s_e6
+  FROM tok k JOIN freq f ON k.t = f.t, tot
+  GROUP BY k.doc_id
+)
 """
 
 
@@ -374,13 +387,21 @@ def doc_lm_surprisal(spark, sf_dir):
     )
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     tot = freq.agg(F.sum("c").cast("double").alias("n"))
+    s_e6 = F.round(F.log(F.col("n") / F.col("c")) * 1000000, 0).cast("long")
     return (
         tok.join(F.broadcast(freq), "t")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("n") / F.col("c"))), 4).alias("surprisal"),
+            F.sum(s_e6).cast("long").alias("_se6"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("_se6") / F.col("n_tokens") / 1000000.0, 4).alias(
+                "surprisal"
+            ),
         )
     )
 

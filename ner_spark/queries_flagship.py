@@ -33,12 +33,9 @@ from .extractors.combined import combined_mentions
 from .extractors.model_stub import _ROTATE
 from .flagship import _COMBOS, _GAZ, _PATTERNS, flagship_triples
 from .operators.relations import MAX_GAP, PRED_RULES
+from .oracle_minhash import md5_60_sql as _md5_60
 from .queries import query
 from .synth import GAZ_GRF
-
-
-def _md5_60(expr: str) -> str:
-    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
 def _pattern_words(regex: str) -> list[str]:
@@ -58,6 +55,14 @@ def _matcher_values() -> str:
     )
     by_surface: dict[str, str] = {}
     for a, label, _w in ordered:
+        # the oracle replays gazetteer hits by TOKEN equality; an alias
+        # that is not one lowercase word would silently never match there
+        # while the engine's \b-anchored alternation still would — fail
+        # loudly at import, like _pattern_words does for the pattern bank
+        if not _re.fullmatch(r"[a-z]+", a):
+            raise ValueError(
+                f"flagship gazetteer alias must be one lowercase word: {a!r}"
+            )
         by_surface.setdefault(a, label)
     rows = [(a, label, GAZ_GRF[label], 1) for a, label in by_surface.items()]
     for pid, rx, label in _PATTERNS:
@@ -110,7 +115,6 @@ _MODEL_SOURCES = [
     if name != "casEN"
 ]
 _SYS_VALUES = ", ".join(f"('{name}', {rank})" for rank, name in _MODEL_SOURCES)
-_N_RANKS = len(_MODEL_SOURCES) + 1
 
 def build_flagship_sql(pred_rules=PRED_RULES) -> str:
     """Full flagship replay SQL, parameterized on the relation rule bank so

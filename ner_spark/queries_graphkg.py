@@ -253,17 +253,18 @@ def _amb_gaz_sql() -> str:
     return ", ".join(f"('{e}', '{a}')" for e, a, _n, _l, _w in _amb_gaz_rows())
 
 
-@query(
-    "kg_canonical_edges",
-    f"""
-    WITH {_TRI}, {_EDGES},
-    m AS (
+def _amb_cc_mapping_sql() -> str:
+    """``m(alias, canonical)``: surfaces resolved to their connected
+    component over the ambiguous alias-entity bipartite graph (recursive
+    min-reachable CTE) — the ONE definition shared by kg_canonical_edges
+    and kg_node_table so their canonical ids cannot drift apart."""
+    return f"""m AS (
       SELECT substr(node, 6) AS alias, canonical FROM (
         WITH RECURSIVE
-        gaz(entity_id, alias) AS (VALUES {_amb_gaz_sql()}),
+        agaz(entity_id, alias) AS (VALUES {_amb_gaz_sql()}),
         bip AS (
           SELECT DISTINCT 'ent:' || entity_id AS src, 'surf:' || alias AS dst
-          FROM gaz
+          FROM agaz
         ),
         sym AS (SELECT src, dst FROM bip UNION SELECT dst, src FROM bip),
         reach(node, r) AS (
@@ -273,7 +274,36 @@ def _amb_gaz_sql() -> str:
         )
         SELECT node, min(r) AS canonical FROM reach GROUP BY node
       ) WHERE node LIKE 'surf:%'
+    )"""
+
+
+def _amb_mapping(spark):
+    """Engine twin of :func:`_amb_cc_mapping_sql`: the alias -> canonical
+    broadcast dimension from the CC operator."""
+    from .operators.canonicalize import connected_components
+
+    agaz = spark.createDataFrame(
+        [(e, a) for e, a, _n, _l, _w in _amb_gaz_rows()], ["entity_id", "alias"]
     )
+    bip = agaz.select(
+        F.concat(F.lit("ent:"), F.col("entity_id")).alias("src"),
+        F.concat(F.lit("surf:"), F.col("alias")).alias("dst"),
+    ).distinct()
+    return (
+        connected_components(bip)
+        .filter(F.col("node").startswith("surf:"))
+        .select(
+            F.expr("substring(node, 6)").alias("alias"),
+            F.col("component").alias("canonical"),
+        )
+    )
+
+
+@query(
+    "kg_canonical_edges",
+    f"""
+    WITH {_TRI}, {_EDGES},
+    {_amb_cc_mapping_sql()}
     SELECT coalesce(ms.canonical, 'surf:' || e.subj) AS subj_id,
            e.pred AS pred,
            coalesce(mo.canonical, 'surf:' || e.obj) AS obj_id,
@@ -294,23 +324,7 @@ def kg_canonical_edges(spark, sf_dir):
     never enters the iterative step, which is what keeps S6 feasible at
     10^12 docs. Oracle recomputes components as min-reachable-node over a
     recursive CTE, then applies the same rewrite in plain SQL."""
-    from .operators.canonicalize import connected_components
-
-    gaz = spark.createDataFrame(
-        [(e, a) for e, a, _n, _l, _w in _amb_gaz_rows()], ["entity_id", "alias"]
-    )
-    bip = gaz.select(
-        F.concat(F.lit("ent:"), F.col("entity_id")).alias("src"),
-        F.concat(F.lit("surf:"), F.col("alias")).alias("dst"),
-    ).distinct()
-    cc = connected_components(bip)
-    mapping = (
-        cc.filter(F.col("node").startswith("surf:"))
-        .select(
-            F.expr("substring(node, 6)").alias("alias"),
-            F.col("component").alias("canonical"),
-        )
-    )
+    mapping = _amb_mapping(spark)
     e = _rel_edges(spark, sf_dir)
     ms = F.broadcast(mapping.withColumnRenamed("canonical", "subj_canon"))
     mo = F.broadcast(
@@ -338,23 +352,7 @@ def kg_canonical_edges(spark, sf_dir):
     f"""
     WITH {_TRI},
     gaz(alias, entity_id) AS (VALUES {_GAZ_ALIAS_SQL}),
-    m AS (
-      SELECT substr(node, 6) AS alias, canonical FROM (
-        WITH RECURSIVE
-        agaz(entity_id, alias) AS (VALUES {_amb_gaz_sql()}),
-        bip AS (
-          SELECT DISTINCT 'ent:' || entity_id AS src, 'surf:' || alias AS dst
-          FROM agaz
-        ),
-        sym AS (SELECT src, dst FROM bip UNION SELECT dst, src FROM bip),
-        reach(node, r) AS (
-          SELECT src, src FROM sym
-          UNION
-          SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node
-        )
-        SELECT node, min(r) AS canonical FROM reach GROUP BY node
-      ) WHERE node LIKE 'surf:%'
-    )
+    {_amb_cc_mapping_sql()}
     SELECT t.subj,
            coalesce(m.canonical, g.entity_id, 'surf:' || t.subj) AS node_id,
            coalesce(string_agg(DISTINCT t.obj, '|' ORDER BY t.obj)
@@ -375,28 +373,11 @@ def kg_node_table(spark, sf_dir):
     linking entity id, then the surface itself), its instance labels, its
     relation-triple count, and its document support. One groupBy on the
     subject key — the same bucket-resumable aggregation shape s8 runs."""
-    from .operators.canonicalize import connected_components
-
     tri = flagship_triples_vocab(spark, sf_dir)
     gaz = spark.createDataFrame(
         [(a, e) for e, a, _l, _w in _GAZ], ["alias", "entity_id"]
     )
-    agaz = spark.createDataFrame(
-        [(e, a) for e, a, _n, _l, _w in _amb_gaz_rows()], ["entity_id", "alias"]
-    )
-    bip = agaz.select(
-        F.concat(F.lit("ent:"), F.col("entity_id")).alias("src"),
-        F.concat(F.lit("surf:"), F.col("alias")).alias("dst"),
-    ).distinct()
-    mapping = (
-        connected_components(bip)
-        .filter(F.col("node").startswith("surf:"))
-        .select(
-            F.expr("substring(node, 6)").alias("alias"),
-            F.col("component").alias("canonical"),
-        )
-    )
-    m = F.broadcast(mapping)
+    m = F.broadcast(_amb_mapping(spark))
     g = F.broadcast(gaz.withColumnRenamed("alias", "galias"))
     return (
         tri.join(m, tri["subj"] == m["alias"], "left")

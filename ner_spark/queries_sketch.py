@@ -146,7 +146,7 @@ _BLOOM_SQL = f"""
 WITH dim AS (
   SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > {_BLOOM_BAL}
 ),
-hj AS (SELECT unnest([1, 2, 3]) AS j),
+hj AS (SELECT unnest([{", ".join(str(j) for j in range(1, _BLOOM_H + 1))}]) AS j),
 bits AS (
   SELECT DISTINCT
     ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
@@ -447,8 +447,10 @@ r AS (
 ),
 sk AS (SELECT lang, h FROM r WHERE rn <= {_SETOP_K}),
 agg AS (
-  SELECT list_sort(list(DISTINCT h) FILTER (WHERE lang = 'en')) AS ha,
-         list_sort(list(DISTINCT h) FILTER (WHERE lang = 'fr')) AS hb
+  SELECT coalesce(list_sort(list(DISTINCT h) FILTER (WHERE lang = 'en')),
+                  []) AS ha,
+         coalesce(list_sort(list(DISTINCT h) FILTER (WHERE lang = 'fr')),
+                  []) AS hb
   FROM sk
 ),
 sketch AS (
@@ -525,13 +527,20 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.slice(F.sort_array(F.collect_set("h")), 1, _SETOP_K).alias("hs"))
     )
+    # a lang with ZERO documents yields a NULL sketch; coalesce to the
+    # empty list on BOTH engines (oracle mirrors) so the union/size math
+    # degrades to the present side instead of NULL-propagating (engine)
+    # vs -1-sentineling (size semantics) inconsistently
+    empty = F.array().cast("array<bigint>")
     one = merged.agg(
-        F.first(F.when(F.col("lang") == "en", F.col("hs")), ignorenulls=True).alias(
-            "ha"
-        ),
-        F.first(F.when(F.col("lang") == "fr", F.col("hs")), ignorenulls=True).alias(
-            "hb"
-        ),
+        F.coalesce(
+            F.first(F.when(F.col("lang") == "en", F.col("hs")), ignorenulls=True),
+            empty,
+        ).alias("ha"),
+        F.coalesce(
+            F.first(F.when(F.col("lang") == "fr", F.col("hs")), ignorenulls=True),
+            empty,
+        ).alias("hb"),
     ).select(
         F.col("ha"),
         F.col("hb"),

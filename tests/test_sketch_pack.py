@@ -153,3 +153,24 @@ def test_kmv_setops_estimates_track_exact(spark):
         # intersection error compounds (union est x fraction): allow wider
         denom = max(r.n_inter_exact, 1)
         assert abs(r.est_intersection - r.n_inter_exact) / denom < 0.6
+
+
+def test_kmv_setops_one_empty_side_degrades_cleanly(spark, tmp_path):
+    """A corpus with NO fr documents must yield the exact small-side
+    estimates (empty-sketch coalesce), not NULL/-1 sentinels."""
+    import pandas as pd
+
+    from ner_spark.queries_sketch import sketch_kmv_setops
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["alpha beta gamma delta", "alpha beta gamma epsilon"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [22, 24],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    [row] = sketch_kmv_setops(spark, str(tmp_path)).collect()
+    assert row["est_intersection"] == 0.0
+    assert row["est_union"] >= 1.0  # the en side's exact small count
