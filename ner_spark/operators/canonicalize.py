@@ -84,18 +84,32 @@ def connected_components(
 
     Each iteration is two aggregations + two joins on the node id; the min
     aggregate is partial-aggregatable, so a high-degree (skewed) node's
-    neighborhood combines map-side. ``localCheckpoint`` each round truncates
-    the exponentially-growing lineage.
+    neighborhood combines map-side.
+
+    Per-round barrier: each round's edge set is written to parquet under a
+    cluster-visible scratch dir (``session_scratch_dir``) and read back.
+    This truncates the otherwise exponentially-growing logical plan (each
+    round references the previous round's frame ~12×) exactly like a
+    checkpoint, but fault-tolerantly: a ``localCheckpoint`` stores blocks
+    on executors, so on a real cluster one lost executor mid-CC kills the
+    whole truncated lineage — a parquet round on shared storage survives
+    executor loss and is recomputable partition-by-partition. The write
+    alternates between two subdirs (round i only reads round i-1), so
+    storage stays O(|edges|) regardless of round count.
     """
-    # lazy checkpoints throughout: the _edge_stats collect that follows each
-    # checkpoint materializes it, so every round costs ONE job instead of
-    # two (an eager checkpoint + a stats pass over the stored blocks)
+    from .scratch import session_scratch_dir
+
+    spark = edges.sparkSession
+    # the initial distinct edge set feeds _edge_stats AND round 0 (or the
+    # fast-path collect); persist — not localCheckpoint — keeps the lineage
+    # recoverable while preventing a recompute between the two consumers
     e = (
         _symmetrize(edges)
         .select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
+    e0 = e
     n_edges, chk = _edge_stats(e)
     if n_edges <= small_graph_threshold:
         # Small-graph fast path: each large/small-star round is ~6 Spark jobs
@@ -112,10 +126,10 @@ def connected_components(
         out_schema = StructType(
             [StructField("node", node_t), StructField("component", node_t)]
         )
-        return e.sparkSession.createDataFrame(
-            sorted(mapping.items()), out_schema
-        )
-    for _ in range(max_iter):
+        e0.unpersist()
+        return spark.createDataFrame(sorted(mapping.items()), out_schema)
+    scratch = session_scratch_dir(spark, prefix="cc_rounds")
+    for i in range(max_iter):
         # --- large-star ---
         sym = _symmetrize(e)  # (src=u, dst=neighbor)
         mins = sym.groupBy("src").agg(
@@ -136,7 +150,11 @@ def connected_components(
             .filter(F.col("src") != F.col("dst"))
         )
         part2 = mins2.select("src", F.col("m").alias("dst"))
-        e_new = part1.unionByName(part2).distinct().localCheckpoint(eager=False)
+        out_dir = f"{scratch}/r{i % 2}"
+        part1.unionByName(part2).distinct().write.mode("overwrite").parquet(out_dir)
+        e_new = spark.read.parquet(out_dir)
+        if i == 0:
+            e0.unpersist()  # rounds now source from parquet, not the input set
         n_new, chk_new = _edge_stats(e_new)
         if n_new == n_edges and chk_new == chk:
             e = e_new
@@ -146,6 +164,7 @@ def connected_components(
         # falling through without the convergence break would label rows of
         # one true component with DIFFERENT ids — fail loudly instead of
         # returning a silently-inconsistent assignment
+        e0.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} star rounds"
         )

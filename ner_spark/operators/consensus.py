@@ -238,11 +238,16 @@ def order_mentions_indexed(df: DataFrame, scratch_dir: str | None = None) -> Dat
     The sort keys are a total order (mention keys are unique per doc and
     ``files_id[0]`` is unique per doc), so the numbering is deterministic
     at any parallelism.
+
+    The checkpoint parquet defaults to a *cluster-visible* scratch dir
+    (``session_scratch_dir``: conf override, else under the warehouse) —
+    never a driver-local ``tempfile`` path, which executors on a real
+    cluster cannot share; released at the host's ``release_scratch()``.
     """
-    import tempfile
+    from .scratch import session_scratch_dir
 
     spark = df.sparkSession
-    out = scratch_dir or tempfile.mkdtemp(prefix="order_idx_")
+    out = scratch_dir or session_scratch_dir(spark, prefix="order_idx")
     sort_cols = ["_k0", "start", "end", "NE", "label", "method"]
     (
         df.withColumn("_k0", F.col("files_id")[0])

@@ -734,13 +734,15 @@ def winnow_fingerprints(
     RIGHTMOST position on ties. Guarantees at least one selected
     fingerprint in every w-gram window while sampling ~2/(w+1) of grams.
 
-    The tie rule is packed into one BIGINT — key = h * 2^20 + (2^20-1-pos)
-    — so a single per-doc window ``min()`` performs min-hash +
-    rightmost-pos in one comparison and both engines (and the DuckDB
-    oracle) select identical fingerprints. Docs shorter than ``w`` grams
-    select the minimum over all their grams (one clipped window).
+    The tie rule is packed into one BIGINT — ``key = h30 * WINNOW_POS_BITS
+    + (WINNOW_POS_BITS - 1 - pos)`` with ``h30 < WINNOW_HASH_MOD`` (see the
+    constants' comment above for the field-width proof) — so a single
+    per-doc window ``min()`` performs min-hash + rightmost-pos in one
+    comparison and both engines (and the DuckDB oracle) select identical
+    fingerprints. Docs shorter than ``w`` grams select the minimum over
+    all their grams (one clipped window).
 
-    Returns distinct ``(doc_id, h40)`` rows (h40 = 30-bit gram hash).
+    Returns distinct ``(doc_id, h30)`` rows (h30 = 30-bit gram hash).
     Per-document window frames only — never a global sort; selection of a
     1e9-doc corpus is an embarrassingly parallel scan + local window.
     """
@@ -766,14 +768,14 @@ def winnow_fingerprints(
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
         (F.col("n") - k + 1).alias("m"),
-        (md5_60(F.col("gram")) % WINNOW_HASH_MOD).alias("h40"),
+        (md5_60(F.col("gram")) % WINNOW_HASH_MOD).alias("h30"),
     )
     keyed = kg.select(
         "doc_id",
         "pos",
         "m",
         (
-            F.col("h40") * WINNOW_POS_BITS
+            F.col("h30") * WINNOW_POS_BITS
             + (WINNOW_POS_BITS - 1 - F.col("pos"))
         ).alias("key"),
     )
@@ -785,7 +787,7 @@ def winnow_fingerprints(
     return (
         keyed.withColumn("wmin", F.min("key").over(win))
         .filter(F.col("pos") <= F.greatest(F.lit(1), F.col("m") - w + 1))
-        .select("doc_id", F.expr(f"wmin div {WINNOW_POS_BITS}").alias("h40"))
+        .select("doc_id", F.expr(f"wmin div {WINNOW_POS_BITS}").alias("h30"))
         .distinct()
     )
 

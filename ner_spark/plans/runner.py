@@ -131,10 +131,14 @@ class Runner:
                 # The empty frame is rewritten UNPARTITIONED: a partitioned
                 # empty write leaves only _SUCCESS and the read-back cannot
                 # infer a schema, while the unpartitioned form writes one
-                # schema-bearing (0-row) parquet file
-                out.withColumn(BUCKET_COL, F.lit(0)).write.mode(
-                    "overwrite"
-                ).parquet(self.catalog.table_dir(name))
+                # schema-bearing (0-row) parquet file. Built from the
+                # schema, NOT from `out` — write_buckets already executed
+                # the full compute() DAG once to learn it was empty, and
+                # re-writing `out` would run that whole DAG a second time
+                # just to produce 0 rows.
+                self.spark.createDataFrame([], out.schema).withColumn(
+                    BUCKET_COL, F.lit(0)
+                ).write.mode("overwrite").parquet(self.catalog.table_dir(name))
                 self.catalog.record(
                     name,
                     [

@@ -335,8 +335,7 @@ def tpch_bucketed_join(spark, sf_dir):
     the downstream per-key work run exchange-free (plan pinned by
     tests/test_bucketed.py). Same rows as the oracle's plain join — the
     bucketing moves the shuffle to write time, it never changes results."""
-    import tempfile
-
+    from .operators.scratch import session_scratch_dir
     from .sources.bucketed import write_bucketed
 
     nb = 8
@@ -346,7 +345,7 @@ def tpch_bucketed_join(spark, sf_dir):
         nb,
         ["o_custkey"],
         sort_cols=["o_custkey"],
-        path=tempfile.mkdtemp(prefix="bq_orders_"),
+        path=session_scratch_dir(spark, prefix="bq_orders"),
     )
     write_bucketed(
         _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
@@ -354,7 +353,7 @@ def tpch_bucketed_join(spark, sf_dir):
         nb,
         ["c_custkey"],
         sort_cols=["c_custkey"],
-        path=tempfile.mkdtemp(prefix="bq_customer_"),
+        path=session_scratch_dir(spark, prefix="bq_customer"),
     )
     o, c = spark.table("bq_orders"), spark.table("bq_customer")
     return (

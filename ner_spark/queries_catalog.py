@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .operators.scratch import session_scratch_dir
 from .queries import _t, query
 
 _TT_BUCKETS = 8
@@ -47,8 +48,6 @@ def catalog_time_travel(spark, sf_dir):
     (v2), roll back to v1 (v3) — then read ALL THREE snapshots of the same
     table and report per-bucket counts. v3 == v1 proves rollback restores
     the exact pre-overwrite file set."""
-    import tempfile
-
     from .sources.catalog import BUCKET_COL, with_bucket
     from .sources.snapshots import SnapshotCatalog
 
@@ -57,7 +56,7 @@ def catalog_time_travel(spark, sf_dir):
         "doc_id",
         _TT_BUCKETS,
     )
-    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="kg_snapshots_"))
+    cat = SnapshotCatalog(session_scratch_dir(spark, prefix="kg_snapshots"))
     cat.commit(docs, "docs")
     cat.commit(
         docs.filter(
@@ -112,8 +111,6 @@ def catalog_schema_evolution(spark, sf_dir):
     NULL-backfilled on v1 rows; time-traveling to snapshot 1 through the
     TABLE schema shows lang all-NULL; through its OWN schema the column
     does not exist — no data file was rewritten at any point."""
-    import tempfile
-
     from .sources.catalog import BUCKET_COL, with_bucket
     from .sources.snapshots import SnapshotCatalog
 
@@ -122,7 +119,7 @@ def catalog_schema_evolution(spark, sf_dir):
         "doc_id",
         _TT_BUCKETS,
     )
-    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="kg_snapshots_se_"))
+    cat = SnapshotCatalog(session_scratch_dir(spark, prefix="kg_snapshots_se"))
     cat.commit(docs.select("doc_id", "text", BUCKET_COL), "docs")
     cat.commit(
         docs.filter(
@@ -270,8 +267,6 @@ def catalog_cdc_diff(spark, sf_dir):
     classifies D / U_before / U_after / I and rows kept verbatim emit
     NOTHING — all computed by reading only the changed buckets
     (sources/snapshots.cdc_diff)."""
-    import tempfile
-
     from .sources.catalog import BUCKET_COL, with_bucket
     from .sources.snapshots import SnapshotCatalog, cdc_diff
 
@@ -279,7 +274,7 @@ def catalog_cdc_diff(spark, sf_dir):
         F.col("text").isNotNull()
     )
     bucketed = with_bucket(docs, "doc_id", _TT_BUCKETS)
-    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="kg_snapshots_cdc_"))
+    cat = SnapshotCatalog(session_scratch_dir(spark, prefix="kg_snapshots_cdc"))
     cat.commit(bucketed, "docs")
     aff = bucketed.filter(F.col(BUCKET_COL).isin(*_TT_OVERWRITE))
     keep = aff.filter(F.col("doc_id") % 4 == 0)

@@ -26,7 +26,7 @@ Scale notes per query:
   shard hot postings out-of-band.
 - ``dedup_winnowing``: winnowing (Schleimer et al., SIGMOD 2003) — the
   min-hash-per-window fingerprint selection MOSS uses. The rightmost-min
-  tie rule is encoded arithmetically (key = h40 * 2^20 + (2^20-1-pos), min
+  tie rule is encoded arithmetically (key = h30 * WINNOW_POS_BITS + (WINNOW_POS_BITS-1-pos), min
   over a ROWS window) so both engines pick identical fingerprints. Windows
   are per-document Spark window frames (partitioned by doc — no global
   sort); the pair join groups by selected hash with a df cap so a
@@ -272,13 +272,13 @@ _WINNOW_SQL = f"""
     kg AS (
       SELECT doc_id, p AS pos,
              ('0x' || substr(md5(array_to_string(toks[p : p + {_WIN_K} - 1], ' ')),
-                             1, 15))::BIGINT % {_HASH_MOD} AS h40,
+                             1, 15))::BIGINT % {_HASH_MOD} AS h30,
              len(toks) - {_WIN_K} + 1 AS m
       FROM b, unnest(range(1, len(toks) - {_WIN_K} + 2)) AS u(p)
     ),
     keyed AS (
       SELECT doc_id, pos, m,
-             h40 * {_POS_BITS} + ({_POS_BITS} - 1 - pos) AS key
+             h30 * {_POS_BITS} + ({_POS_BITS} - 1 - pos) AS key
       FROM kg
     ),
     wins AS (
@@ -289,18 +289,18 @@ _WINNOW_SQL = f"""
       FROM keyed
     ),
     fp AS (
-      SELECT DISTINCT doc_id, wmin // {_POS_BITS} AS h40
+      SELECT DISTINCT doc_id, wmin // {_POS_BITS} AS h30
       FROM wins
       WHERE pos <= greatest(1, m - {_WIN_W} + 1)
     ),
     hot AS (
-      SELECT h40 FROM fp GROUP BY 1 HAVING count(*) > {_WIN_DF_CAP}
+      SELECT h30 FROM fp GROUP BY 1 HAVING count(*) > {_WIN_DF_CAP}
     ),
     cold AS (
-      SELECT * FROM fp WHERE h40 NOT IN (SELECT h40 FROM hot)
+      SELECT * FROM fp WHERE h30 NOT IN (SELECT h30 FROM hot)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-    FROM cold a JOIN cold b ON a.h40 = b.h40 AND a.doc_id < b.doc_id
+    FROM cold a JOIN cold b ON a.h30 = b.h30 AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING count(*) >= {_WIN_MIN_SHARED}
 """
@@ -316,14 +316,14 @@ def dedup_winnowing(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     fp = winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
-    hot = fp.groupBy("h40").agg(F.count(F.lit(1)).alias("fdf")).filter(
+    hot = fp.groupBy("h30").agg(F.count(F.lit(1)).alias("fdf")).filter(
         F.col("fdf") > _WIN_DF_CAP
     )
-    cold = fp.join(F.broadcast(hot), "h40", "left_anti")
-    a = cold.select(F.col("doc_id").alias("doc_a"), "h40")
-    b = cold.select(F.col("doc_id").alias("doc_b"), "h40")
+    cold = fp.join(F.broadcast(hot), "h30", "left_anti")
+    a = cold.select(F.col("doc_id").alias("doc_a"), "h30")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "h30")
     return (
-        a.join(b, "h40")
+        a.join(b, "h30")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))

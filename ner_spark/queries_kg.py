@@ -852,15 +852,15 @@ def kg_checkpoint_manifest(spark, sf_dir):
     prepare/archive folders): runs S0+S1 through the bucket-resumable
     Runner into a scratch catalog and returns the manifest rows — stage,
     bucket, and per-bucket row counts are deterministic for a given sf."""
-    import tempfile
-
     from .flagship import docs_as_spans
     from .operators.clean import dedup_docs, normalize_docs
     from .plans.runner import Runner
     from .sources.catalog import Catalog
 
     docs = docs_as_spans(_t(spark, sf_dir, "documents"))
-    out = tempfile.mkdtemp(prefix="kg_manifest_")
+    from .operators.scratch import session_scratch_dir
+
+    out = session_scratch_dir(spark, prefix="kg_manifest")
     runner = Runner(spark=spark, catalog=Catalog(out), n_buckets=_MANIFEST_BUCKETS)
     _, fp0 = runner.stage("s0_normalize", docs, normalize_docs, key="doc_id",
                           input_fingerprint=f"sf:{sf_dir}")

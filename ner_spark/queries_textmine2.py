@@ -394,129 +394,35 @@ def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
 """
 
 
-def _bpe_apply_merge(rows, win, wq):
-    """Apply one merge (a, b) greedily left-to-right, non-overlapping —
-    all window functions over the ONE (w, pos) partitioning (no extra
-    exchanges): mark matching pair starts, recover each start's island
-    parity from the running max of the last non-matching position (the
-    run of consecutive matches ending just before pos has even length
-    exactly for greedy picks), drop the consumed right symbol, renumber.
-    """
-    wrun = wq.rowsBetween(Window.unboundedPreceding, -1)
-    m = (
-        rows.crossJoin(F.broadcast(win.select("a", "b")))
-        .withColumn("nxt", F.lead("sym").over(wq))
-        .withColumn(
-            "mt",
-            ((F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b"))).cast(
-                "int"
-            ),
-        )
-        .withColumn(
-            "sel",
-            F.when(
-                (F.col("mt") == 1)
-                & (
-                    (
-                        F.col("pos")
-                        - 1
-                        - F.coalesce(
-                            F.max(
-                                F.when(F.col("mt") == 0, F.col("pos"))
-                            ).over(wrun),
-                            F.lit(0),
-                        )
-                    )
-                    % 2
-                    == 0
-                ),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn("psel", F.lag("sel").over(wq))
-    )
-    kept = m.filter(F.coalesce(F.col("psel"), F.lit(0)) == 0).withColumn(
-        "osym",
-        F.when(F.col("sel") == 1, F.concat("sym", "nxt")).otherwise(F.col("sym")),
-    )
-    return kept.select(
-        "w",
-        "wc",
-        F.row_number().over(wq).cast("bigint").alias("pos"),
-        F.col("osym").alias("sym"),
-    )
-
-
 @query("bpe_train_merges", _bpe_train_sql())
 def bpe_train_merges(spark, sf_dir):
     """The FULL BPE training loop, not just one counting round: M=4
-    iterations of (weighted pair count -> argmax merge -> greedy
-    non-overlapping merge application over the vocabulary), the whole
-    trajectory one declarative DAG with its DuckDB replay generated per
-    round (the power-iteration technique).
+    rounds of (weighted pair count -> argmax merge -> greedy
+    non-overlapping merge application over the vocabulary), via the
+    reusable parameterized trainer ``operators.bpe.bpe_train`` (round-4
+    directive 3 — the former 4-round unrolled DAG is now
+    ``bpe_train(vocab, n_merges=M)`` for any M), with the 4-round DuckDB
+    replay generated per round as the oracle.
 
     Scale shape: training runs at VOCABULARY grain (distinct [a-z]+
     words weighted by corpus frequency), so per-round work is O(vocab x
     word_len) regardless of corpus size; the corpus is touched exactly
     once to build the weighted vocab (map-side-combined groupBy). Merge
-    application is pure window functions over the word partition key — no
-    arrays, no interpreted lambda HOFs (the round-2 cliff), no driver
-    collect; each round's winning merge is a 1-row struct-min aggregate
-    (map-side partial, never a global sort) attached by broadcast. The
-    greedy left-to-right non-overlap semantics (merge "aa" in "aaa"
-    consumes positions 1-2, not 2-3) come from island parity: number
-    consecutive matching pair-starts, keep the odd ones. Per-round state
-    persists as scratch so the M unioned winners don't re-derive the
-    shared prefix chain.
+    application is pure window functions over the word partition key;
+    each round's winning merge is a 1-row struct-min aggregate (map-side
+    partial, never a global sort) collected to the driver — one row per
+    round, bounded by M, never by data — and replayed into the next
+    round's plan as literals. Long trainings lineage-break through
+    cluster-visible parquet scratch every ``scratch_every`` rounds (see
+    operators/bpe.py). Early stop on an exhausted vocabulary drops the
+    degenerate rounds, agreeing with the oracle's LIMIT 1 over an empty
+    pair table.
+
+    Equality of the trainer against a plain-Python textbook BPE for M=50
+    is pinned by tests/test_bpe_trainer.py.
     """
-    from .operators.scratch import scratch_persist
+    from .operators.bpe import bpe_train
 
     words = _bpe_words(_t(spark, sf_dir, "documents"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
-    rows = (
-        vocab.select(
-            "w",
-            "wc",
-            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("pos"),
-        )
-        .withColumn("sym", F.col("w").substr(F.col("pos"), F.lit(1)))
-        .withColumn("pos", F.col("pos").cast("bigint"))
-    )
-    wq = Window.partitionBy("w").orderBy("pos")
-    wins = []
-    for r in range(_BPE_ROUNDS):
-        rows = scratch_persist(rows)
-        pairs = (
-            rows.withColumn("nxt", F.lead("sym").over(wq))
-            .filter(F.col("nxt").isNotNull())
-            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
-            .agg(F.sum("wc").alias("cnt"))
-        )
-        win = (
-            pairs.agg(
-                F.min(
-                    F.struct(
-                        (-F.col("cnt")).alias("nc"), F.col("a"), F.col("b")
-                    )
-                ).alias("m")
-            )
-            .select(
-                F.col("m.a").alias("a"),
-                F.col("m.b").alias("b"),
-                (-F.col("m.nc")).cast("bigint").alias("cnt"),
-            )
-        )
-        wins.append(
-            win.select(
-                F.lit(r).cast("int").alias("merge_round"), "a", "b", "cnt"
-            )
-        )
-        if r + 1 < _BPE_ROUNDS:
-            rows = _bpe_apply_merge(rows, win, wq)
-    out = wins[0]
-    for wdf in wins[1:]:
-        out = out.unionByName(wdf)
-    # a round over an exhausted vocabulary (no adjacent pairs left) yields
-    # an all-NULL struct-min row; the oracle's LIMIT 1 over an empty pair
-    # table yields no row — drop the degenerate rows so both agree
-    return out.filter(F.col("a").isNotNull())
+    return bpe_train(vocab, n_merges=_BPE_ROUNDS)

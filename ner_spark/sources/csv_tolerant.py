@@ -34,6 +34,13 @@ def read_csv_tolerant(
     corrupt record column"), so the split goes through one narrow
     projection boundary (``select`` of all columns) first, as the Spark
     docs prescribe. Both halves stay partition-parallel scans.
+
+    LIFETIME: both returned frames lean on a session-scratch persist.
+    Consume them (collect / write) BEFORE the host's next
+    ``release_scratch()`` boundary — after release, a re-used frame
+    recomputes the scan uncached, and filtering on the corrupt-record
+    column without a cache can silently return wrong rows (SPARK-21610).
+    For cross-boundary use, write the frames out first.
     """
     full_schema = f"{schema}, {CORRUPT_COL} STRING"
     from ..operators.scratch import scratch_persist

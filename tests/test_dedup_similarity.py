@@ -344,7 +344,7 @@ def test_winnow_fingerprints_matches_reference(spark):
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     got: dict[int, set[int]] = {}
     for r in winnow_fingerprints(df, k=4, w=5).collect():
-        got.setdefault(r["doc_id"], set()).add(r["h40"])
+        got.setdefault(r["doc_id"], set()).add(r["h30"])
     expected = {
         i: _winnow_reference(t.split(), 4, 5) for i, t in docs if len(t.split()) >= 4
     }

@@ -166,3 +166,34 @@ def test_query_plan_has_no_antipatterns(spark, name):
         assert "Exchange SinglePartition" not in plan, (
             f"{name}: single-reducer exchange"
         )
+
+
+def test_no_driver_local_scratch_or_local_checkpoint_in_source():
+    """Cluster-portability audit (round-4 directive 1): no operator or
+    driver-query module may truncate lineage with ``localCheckpoint`` (its
+    blocks live on executors — a lost executor mid-job kills the truncated
+    lineage) or write scratch to a driver-local ``tempfile`` path (on a
+    multi-executor deployment, executors either cannot reach it or each
+    writes to a different local disk). Barriers must use persist (lineage
+    kept) or a parquet round under ``session_scratch_dir`` (shared
+    storage). Static source scan so the ban covers every code path, not
+    just the plans the sf0.001 sweep happens to execute.
+
+    The scan covers the whole ``ner_spark`` package with no exemptions;
+    tests/ and tools/ (host-side, driver-only harnesses) are out of scope.
+    """
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "ner_spark"
+    banned = re.compile(r"\.localCheckpoint\(|tempfile\.mkdtemp\(|tempfile\.TemporaryDirectory\(|[\"']/tmp/")
+    offenders = []
+    for path in sorted(root.rglob("*.py")):
+        rel = path.relative_to(root).as_posix()
+        for lineno, line in enumerate(path.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]  # docstrings may *discuss* the ban
+            if '"""' in line or "``" in line:
+                continue
+            if banned.search(code):
+                offenders.append(f"{rel}:{lineno}: {line.strip()}")
+    assert not offenders, "driver-local scratch/localCheckpoint found:\n" + "\n".join(offenders)
