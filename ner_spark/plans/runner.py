@@ -15,6 +15,13 @@ hash bucket of ``doc_uid`` (stable at any parallelism). On (re)run:
 
 Global stages (connected components) cannot be bucket-partial; they
 checkpoint all-or-nothing under the same manifest mechanism.
+
+Concurrent runs: a lease-based writer fence (Catalog.try_acquire_writer)
+admits exactly ONE writer per (stage, fingerprint); a racing Runner waits
+on the winner's manifest and then reads, so two schedulers accidentally
+launching the same job cannot interleave a torn write or duplicate
+manifest rows. A winner that dies mid-run is taken over after its lease
+expires, resuming from its completed buckets.
 """
 
 from __future__ import annotations
@@ -50,6 +57,40 @@ class Runner:
     catalog: Catalog
     n_buckets: int = 16
     metrics: list[StageResult] = field(default_factory=list)
+    # concurrent-writer fence: how long a peer Runner's lease may go
+    # untouched before it counts as dead, how long to wait for a live peer
+    # to finish, and how often to re-check its manifest while waiting
+    writer_lease_sec: float = 600.0
+    writer_wait_sec: float = 600.0
+    writer_poll_sec: float = 0.1
+
+    def _acquire_or_wait(
+        self, name: str, fingerprint: str, is_done: Callable[[], bool]
+    ) -> bool:
+        """Single-writer admission for one stage run.
+
+        Returns True when this Runner holds the write lease (caller must
+        compute + release), False when a racing peer finished the work
+        while we waited (caller just reads). Two Runners launched against
+        the same catalog therefore produce exactly ONE winner: the loser
+        blocks on the winner's manifest instead of double-writing data and
+        manifest rows. A winner that dies mid-run drops off via the lease
+        timeout and the survivor takes over the remaining buckets.
+        """
+        deadline = time.time() + self.writer_wait_sec
+        while True:
+            if self.catalog.try_acquire_writer(
+                name, fingerprint, lease_sec=self.writer_lease_sec
+            ):
+                return True
+            if is_done():
+                return False
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"stage {name}: writer lease for {fingerprint} still held "
+                    f"after {self.writer_wait_sec}s and work incomplete"
+                )
+            time.sleep(self.writer_poll_sec)
 
     def stage(
         self,
@@ -63,37 +104,50 @@ class Runner:
         """Run one bucket-resumable stage; returns (full output DF, fp)."""
         t0 = time.time()
         fingerprint = _fp(name, input_fingerprint, params, str(self.n_buckets))
-        # wipes stale data from any previous fingerprint (see claim_fingerprint)
-        self.catalog.claim_fingerprint(name, fingerprint)
-        done = self.catalog.completed_buckets(name, fingerprint)
-        missing = sorted(set(range(self.n_buckets)) - done)
+        all_buckets = set(range(self.n_buckets))
+        acquired = self._acquire_or_wait(
+            name,
+            fingerprint,
+            lambda: not (all_buckets - self.catalog.completed_buckets(name, fingerprint)),
+        )
         rows_written = 0
-        if missing:
-            bucketed_in = with_bucket(input_df, key, self.n_buckets)
-            todo = bucketed_in.filter(F.col(BUCKET_COL).isin(missing)).drop(BUCKET_COL)
-            out = transform(todo)
-            out_bucketed = with_bucket(out, key, self.n_buckets)
-            manifest = self.catalog.write_buckets(
-                out_bucketed, name, fingerprint, stage=name, buckets=missing
-            )
-            rows_written = sum(r["rows"] for r in manifest)
-            # buckets with zero output rows still count as completed
-            written = {r["bucket"] for r in manifest}
-            empty = [
-                {
-                    "stage": name,
-                    "table": name,
-                    "bucket": b,
-                    "fingerprint": fingerprint,
-                    "rows": 0,
-                    "wall_ms": 0,
-                    "ts": time.time(),
-                }
-                for b in missing
-                if b not in written
-            ]
-            if empty:
-                self.catalog.record(name, empty)
+        try:
+            # wipe stale data from any previous fingerprint (claim runs
+            # under the writer fence so a racing peer can't interleave the
+            # reset with our data write)
+            if acquired:
+                self.catalog.claim_fingerprint(name, fingerprint)
+            done = self.catalog.completed_buckets(name, fingerprint)
+            missing = sorted(all_buckets - done) if acquired else []
+            if missing:
+                bucketed_in = with_bucket(input_df, key, self.n_buckets)
+                todo = bucketed_in.filter(F.col(BUCKET_COL).isin(missing)).drop(BUCKET_COL)
+                out = transform(todo)
+                out_bucketed = with_bucket(out, key, self.n_buckets)
+                manifest = self.catalog.write_buckets(
+                    out_bucketed, name, fingerprint, stage=name, buckets=missing
+                )
+                rows_written = sum(r["rows"] for r in manifest)
+                # buckets with zero output rows still count as completed
+                written = {r["bucket"] for r in manifest}
+                empty = [
+                    {
+                        "stage": name,
+                        "table": name,
+                        "bucket": b,
+                        "fingerprint": fingerprint,
+                        "rows": 0,
+                        "wall_ms": 0,
+                        "ts": time.time(),
+                    }
+                    for b in missing
+                    if b not in written
+                ]
+                if empty:
+                    self.catalog.record(name, empty)
+        finally:
+            if acquired:
+                self.catalog.release_writer(name, fingerprint)
         result = StageResult(
             table=name,
             fingerprint=fingerprint,
@@ -116,43 +170,53 @@ class Runner:
         """All-or-nothing stage (e.g. connected components)."""
         t0 = time.time()
         fingerprint = _fp(name, input_fingerprint, params)
-        self.catalog.claim_fingerprint(name, fingerprint)
-        done = self.catalog.completed_buckets(name, fingerprint)
-        if not done:
-            out = compute()
-            manifest = self.catalog.write_buckets(
-                out.withColumn(BUCKET_COL, F.lit(0)), name, fingerprint, stage=name
-            )
-            if not manifest:
-                # a legitimately-empty result writes no parquet and hence no
-                # manifest row; without an explicit completion marker every
-                # resume would re-run the whole compute() (the per-bucket
-                # stage above handles this with its empty-bucket rows).
-                # The empty frame is rewritten UNPARTITIONED: a partitioned
-                # empty write leaves only _SUCCESS and the read-back cannot
-                # infer a schema, while the unpartitioned form writes one
-                # schema-bearing (0-row) parquet file. Built from the
-                # schema, NOT from `out` — write_buckets already executed
-                # the full compute() DAG once to learn it was empty, and
-                # re-writing `out` would run that whole DAG a second time
-                # just to produce 0 rows.
-                self.spark.createDataFrame([], out.schema).withColumn(
-                    BUCKET_COL, F.lit(0)
-                ).write.mode("overwrite").parquet(self.catalog.table_dir(name))
-                self.catalog.record(
-                    name,
-                    [
-                        {
-                            "stage": name,
-                            "table": name,
-                            "bucket": 0,
-                            "fingerprint": fingerprint,
-                            "rows": 0,
-                            "wall_ms": 0,
-                            "ts": time.time(),
-                        }
-                    ],
+        acquired = self._acquire_or_wait(
+            name,
+            fingerprint,
+            lambda: bool(self.catalog.completed_buckets(name, fingerprint)),
+        )
+        try:
+            if acquired:
+                self.catalog.claim_fingerprint(name, fingerprint)
+            done = self.catalog.completed_buckets(name, fingerprint)
+            if not done and acquired:
+                out = compute()
+                manifest = self.catalog.write_buckets(
+                    out.withColumn(BUCKET_COL, F.lit(0)), name, fingerprint, stage=name
                 )
+                if not manifest:
+                    # a legitimately-empty result writes no parquet and hence
+                    # no manifest row; without an explicit completion marker
+                    # every resume would re-run the whole compute() (the
+                    # per-bucket stage above handles this with its
+                    # empty-bucket rows). The empty frame is rewritten
+                    # UNPARTITIONED: a partitioned empty write leaves only
+                    # _SUCCESS and the read-back cannot infer a schema, while
+                    # the unpartitioned form writes one schema-bearing (0-row)
+                    # parquet file. Built from the schema, NOT from `out` —
+                    # write_buckets already executed the full compute() DAG
+                    # once to learn it was empty, and re-writing `out` would
+                    # run that whole DAG a second time just to produce 0 rows.
+                    self.spark.createDataFrame([], out.schema).withColumn(
+                        BUCKET_COL, F.lit(0)
+                    ).write.mode("overwrite").parquet(self.catalog.table_dir(name))
+                    self.catalog.record(
+                        name,
+                        [
+                            {
+                                "stage": name,
+                                "table": name,
+                                "bucket": 0,
+                                "fingerprint": fingerprint,
+                                "rows": 0,
+                                "wall_ms": 0,
+                                "ts": time.time(),
+                            }
+                        ],
+                    )
+        finally:
+            if acquired:
+                self.catalog.release_writer(name, fingerprint)
         result_df = self.catalog.read(self.spark, name).drop(BUCKET_COL)
         rows_written = sum(
             r["rows"]

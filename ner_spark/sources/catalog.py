@@ -79,6 +79,57 @@ class Catalog:
             f.write(fingerprint)
         return True
 
+    # -- concurrent-writer fencing ----------------------------------------
+    # Two Runners racing the same (table, fingerprint) must not interleave:
+    # dynamic partition overwrite is only idempotent for ONE writer at a
+    # time (two concurrent Spark writes to one directory fight over the
+    # commit protocol's _temporary dir), and both would append duplicate
+    # manifest rows. The fence is an O_CREAT|O_EXCL marker file per
+    # (table, fingerprint) with a lease: a lock whose mtime is older than
+    # ``lease_sec`` belongs to a dead writer and is broken. This is the
+    # parquet-shim analogue of Iceberg's optimistic-concurrency commit
+    # (the production swap point, like the rest of this module).
+
+    def writer_lock_path(self, table: str, fingerprint: str) -> str:
+        return os.path.join(self.root, f"{table}.{fingerprint}.writer.lock")
+
+    def try_acquire_writer(
+        self, table: str, fingerprint: str, lease_sec: float = 600.0
+    ) -> bool:
+        """Atomically claim write ownership of (table, fingerprint).
+
+        Returns True iff this process is now the single writer; the caller
+        must ``release_writer`` when its buckets (data AND manifest rows)
+        are fully recorded. False means a live writer holds the lease —
+        poll ``completed_buckets`` instead of writing.
+        """
+        os.makedirs(self.root, exist_ok=True)
+        path = self.writer_lock_path(table, fingerprint)
+        for _ in range(2):  # second pass only after breaking a stale lock
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode("utf-8"))
+                os.close(fd)
+                return True
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(path)
+                except FileNotFoundError:
+                    continue  # released between the two checks — retry
+                if age <= lease_sec:
+                    return False
+                try:
+                    os.remove(path)  # dead writer: break the lease
+                except FileNotFoundError:
+                    pass
+        return False
+
+    def release_writer(self, table: str, fingerprint: str) -> None:
+        try:
+            os.remove(self.writer_lock_path(table, fingerprint))
+        except FileNotFoundError:
+            pass
+
     def reset_table(self, table: str) -> None:
         import shutil
 

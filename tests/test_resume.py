@@ -140,3 +140,100 @@ def test_global_stage_empty_result_resumes_without_recompute(spark, tmp_path_fac
     df2, fp2 = r2.global_stage("g_empty", compute, input_fingerprint="x")
     assert df2.count() == 0 and fp2 == fp
     assert calls["n"] == 1  # resume did NOT re-run the compute
+
+
+def test_concurrent_runners_one_winner_zero_duplicates(spark, tmp_path_factory):
+    """Round-4 directive 4: two Runner instances racing the SAME stage +
+    fingerprint on one catalog must not interleave a torn write. The
+    writer fence admits exactly one; the loser waits on the winner's
+    manifest and reads. An injected pause inside the winner's transform
+    holds the race window open long enough that, unfenced, both runners
+    would be mid-write together (this test fails without the fence: both
+    compute and the manifest gets duplicate bucket rows)."""
+    import threading
+    import time as _time
+
+    out = tmp_path_factory.mktemp("kg_race")
+    docs = synth.synth_docs(spark, 120, seed=7)
+    started = threading.Barrier(2)
+    in_transform = threading.Event()
+
+    def paused_normalize(df):
+        in_transform.set()
+        _time.sleep(2.0)  # injected pause: widen the fenced write window
+        return normalize_docs(df)
+
+    results: dict[str, object] = {}
+
+    def run(tag: str):
+        runner = Runner(
+            spark=spark, catalog=Catalog(str(out)), n_buckets=N_BUCKETS,
+            writer_poll_sec=0.05,
+        )
+        started.wait()
+        s0, _ = runner.stage(
+            "s0_normalize", docs, paused_normalize, key="doc_id",
+            input_fingerprint="race:120:7",
+        )
+        results[tag] = (runner.metrics[0], s0.count())
+
+    t1 = threading.Thread(target=run, args=("a",))
+    t2 = threading.Thread(target=run, args=("b",))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    m_a, n_a = results["a"]
+    m_b, n_b = results["b"]
+    # exactly one winner computed; the loser skipped every bucket
+    computed = sorted([m_a.computed_buckets, m_b.computed_buckets])
+    assert computed == [0, N_BUCKETS], (m_a, m_b)
+    # both see the identical full output
+    expected = normalize_docs(docs).count()
+    assert n_a == n_b == expected
+    # zero duplicate manifest rows: one row per bucket per fingerprint
+    cat = Catalog(str(out))
+    seen = [(r["bucket"], r["fingerprint"]) for r in cat.manifest_rows("s0_normalize")]
+    assert len(seen) == len(set(seen)) == N_BUCKETS, seen
+    # zero duplicate data rows
+    dup = (
+        cat.read(spark, "s0_normalize")
+        .groupBy("doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    # the fence was actually exercised while the winner was inside its
+    # transform (not a sequential fluke) and is released afterwards
+    assert in_transform.is_set()
+    import os
+
+    assert not any(f.endswith(".writer.lock") for f in os.listdir(out))
+
+
+def test_dead_writer_lease_is_taken_over(spark, tmp_path_factory):
+    """A writer that died mid-run leaves its lock behind; a new Runner
+    breaks the stale lease after writer_lease_sec and completes the
+    remaining buckets instead of deadlocking."""
+    out = tmp_path_factory.mktemp("kg_stale_lease")
+    docs = synth.synth_docs(spark, 60, seed=9)
+    cat = Catalog(str(out))
+    runner = Runner(
+        spark=spark, catalog=cat, n_buckets=N_BUCKETS,
+        writer_lease_sec=0.5, writer_wait_sec=30.0, writer_poll_sec=0.05,
+    )
+    fp = "stale:60:9"
+    # simulate the dead writer: its lock exists, no manifest progress
+    import hashlib
+
+    stage_fp = hashlib.sha256(
+        "\x1f".join(["s0_normalize", fp, "", str(N_BUCKETS)]).encode()
+    ).hexdigest()[:16]
+    assert cat.try_acquire_writer("s0_normalize", stage_fp, lease_sec=0.5)
+    import time as _time
+
+    _time.sleep(0.6)  # let the lease expire
+    s0, _ = runner.stage(
+        "s0_normalize", docs, normalize_docs, key="doc_id", input_fingerprint=fp
+    )
+    assert runner.metrics[0].computed_buckets == N_BUCKETS
+    assert s0.count() == normalize_docs(docs).count()
