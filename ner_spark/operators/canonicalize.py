@@ -245,18 +245,7 @@ def salted_self_join(
     most similar pair possible — is silently never emitted.
     """
     payload_cols = payload_cols or [c for c in df.columns if c != key]
-    if id_col is not None:
-        uid = F.col(id_col).cast("string")
-    else:
-        # null-sentinel per column: bare concat_ws SKIPS nulls, which would
-        # collide ('x', NULL) with ('x', '') into one uid
-        uid = F.concat_ws(
-            "\x1f",
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-                for c in payload_cols
-            ],
-        )
+    uid = _pair_uid(payload_cols, id_col)
     left = (
         df.withColumn("_uid", uid)
         .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
@@ -276,6 +265,81 @@ def salted_self_join(
         )
         .select(F.col(f"l.{key}").alias(key), *lcols, *rcols)
     )
+
+
+def _pair_uid(payload_cols: list[str], id_col: str | None):
+    """Row uid for unordered-pair emission (shared by the salted and plain
+    self-join paths so the two branches of the skew-aware join agree)."""
+    if id_col is not None:
+        return F.col(id_col).cast("string")
+    # null-sentinel per column: bare concat_ws SKIPS nulls, which would
+    # collide ('x', NULL) with ('x', '') into one uid
+    return F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in payload_cols
+        ],
+    )
+
+
+def skew_aware_self_join(
+    df: DataFrame,
+    key: str,
+    hot_threshold: int = 10_000,
+    n_salt: int = 16,
+    payload_cols: list[str] | None = None,
+    id_col: str | None = None,
+    _tag_branch: bool = False,
+) -> DataFrame:
+    """Blocking self-join that salts ONLY the hot keys (north_rule: "salted
+    self-join to defuse hot-key skew on frequent entities").
+
+    ``salted_self_join`` replicates the whole left side ``n_salt``x — paying
+    that on every block when only a handful are hot wastes n_salt x the
+    corpus in shuffle volume. Here a per-key frequency aggregate (map-side
+    combinable; the hot set — keys with more than ``hot_threshold`` rows —
+    is tiny by definition and broadcasts) routes each row: cold keys take
+    the plain equi-self-join, hot keys the salted path, and the union is
+    exactly the plain join's pair set (pinned by tests). Per-row cost is
+    one broadcast-hash probe; no collect, no second scan of the data.
+
+    The threshold is the reducer-size bound: a key with f rows produces
+    f(f-1)/2 pairs on ONE reducer unsalted, f^2/(2 n_salt) per reducer
+    salted — pick hot_threshold around the row count a single task should
+    hold. ``_tag_branch`` adds a ``via_salted`` bool for the regression
+    guard test; production callers leave it off.
+    """
+    payload_cols = payload_cols or [c for c in df.columns if c != key]
+    uid = _pair_uid(payload_cols, id_col)
+    hot = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .filter(F.col("_f") > hot_threshold)
+        .select(key)
+    )
+    cold_df = df.join(F.broadcast(hot), key, "left_anti")
+    hot_df = df.join(F.broadcast(hot), key, "left_semi")
+    # cold path: plain equi-join on the key (no replication)
+    lcols = [F.col(f"l.{c}").alias(f"{c}_l") for c in payload_cols]
+    rcols = [F.col(f"r.{c}").alias(f"{c}_r") for c in payload_cols]
+    cw = cold_df.withColumn("_uid", uid)
+    cold_pairs = (
+        cw.alias("l")
+        .join(
+            cw.alias("r"),
+            (F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (F.col("l._uid") < F.col("r._uid")),
+        )
+        .select(F.col(f"l.{key}").alias(key), *lcols, *rcols)
+    )
+    hot_pairs = salted_self_join(
+        hot_df, key, n_salt=n_salt, payload_cols=payload_cols, id_col=id_col
+    )
+    if _tag_branch:
+        cold_pairs = cold_pairs.withColumn("via_salted", F.lit(False))
+        hot_pairs = hot_pairs.withColumn("via_salted", F.lit(True))
+    return cold_pairs.unionByName(hot_pairs)
 
 
 def canonical_entities(linked: DataFrame) -> DataFrame:

@@ -562,3 +562,36 @@ def vocab_oov_rate(spark, sf_dir):
             F.expr("n_oov * 10000 DIV n_tokens").cast("long").alias("oov_per_10k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# kg_skew_pairs: the skew-aware blocking self-join, driver-verified
+# ---------------------------------------------------------------------------
+
+_SKEW_PAIRS_SQL = """
+    WITH d AS (SELECT lang, doc_id FROM documents)
+    SELECT l.lang AS lang,
+           l.doc_id AS doc_id_l,
+           r.doc_id AS doc_id_r
+    FROM d l JOIN d r
+      ON l.lang = r.lang
+     AND CAST(l.doc_id AS VARCHAR) < CAST(r.doc_id AS VARCHAR)
+"""
+
+
+@query("kg_skew_pairs", _SKEW_PAIRS_SQL)
+def kg_skew_pairs(spark, sf_dir):
+    """Blocking self-join through ``skew_aware_self_join`` (north_rule's
+    salted self-join, round-4 adaptive form): documents blocked on
+    ``lang``, where the en block exceeds ``hot_threshold`` and takes the
+    salted path (split across n_salt reducers) while the minority langs
+    stay on the plain equi-join. The oracle is the UNSALTED pair set —
+    adaptive salting must be invisible in the result. Pair order pins to
+    the string form of doc_id (the operator's uid), replayed with an
+    explicit CAST in the SQL."""
+    from .operators.canonicalize import skew_aware_self_join
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    return skew_aware_self_join(
+        d, "lang", hot_threshold=100, n_salt=4, id_col="doc_id"
+    )

@@ -171,3 +171,54 @@ def test_cc_raises_on_exhausted_iterations(spark):
     e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(e, max_iter=0, small_graph_threshold=0)
+
+
+def test_skew_aware_self_join_equals_plain_join(spark):
+    """Adaptive salting must be invisible in the result: on a fixture with
+    one hot block (freq > threshold) and many cold ones, the pair set
+    equals the plain self-join's, exactly."""
+    from ner_spark.operators.canonicalize import skew_aware_self_join
+
+    rows = [("hot", f"h{i}") for i in range(30)] + [
+        (f"cold{j}", f"c{j}_{i}") for j in range(10) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["block", "val"])
+    got = {
+        (r["block"], r["val_l"], r["val_r"])
+        for r in skew_aware_self_join(df, "block", hot_threshold=10, n_salt=4).collect()
+    }
+    expected = set()
+    from collections import defaultdict
+
+    by_block = defaultdict(list)
+    for b, v in rows:
+        by_block[b].append(v)
+    for b, vs in by_block.items():
+        for i in range(len(vs)):
+            for j in range(len(vs)):
+                if vs[i] < vs[j]:
+                    expected.add((b, vs[i], vs[j]))
+    assert got == expected
+
+
+def test_skew_aware_self_join_routes_hot_keys_through_salt(spark):
+    """Regression guard (round-4 directive 5): a key whose frequency
+    exceeds hot_threshold MUST take the salted branch; cold keys must not
+    pay the n_salt replication."""
+    from ner_spark.operators.canonicalize import skew_aware_self_join
+
+    rows = [("hot", f"h{i}") for i in range(20)] + [("cold", f"c{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, ["block", "val"])
+    tagged = skew_aware_self_join(
+        df, "block", hot_threshold=10, n_salt=4, _tag_branch=True
+    ).collect()
+    hot_pairs = [r for r in tagged if r["block"] == "hot"]
+    cold_pairs = [r for r in tagged if r["block"] == "cold"]
+    assert hot_pairs and all(r["via_salted"] for r in hot_pairs)
+    assert cold_pairs and not any(r["via_salted"] for r in cold_pairs)
+    assert len(hot_pairs) == 20 * 19 // 2
+    assert len(cold_pairs) == 4 * 3 // 2
+    # and the physical plan's salted explode sits on the hot branch only:
+    # the cold branch must stay a plain SortMergeJoin/ShuffledHashJoin
+    plan = skew_aware_self_join(df, "block", hot_threshold=10, n_salt=4)._jdf.queryExecution().executedPlan().toString()
+    assert "explode" in plan.lower()
