@@ -64,6 +64,31 @@ class Runner:
     writer_wait_sec: float = 600.0
     writer_poll_sec: float = 0.1
 
+    def _start_heartbeat(self, name: str, fingerprint: str):
+        """Refresh the writer lock's mtime every lease/3 while the stage
+        computes. Without this, any stage whose wall time exceeds
+        ``writer_lease_sec`` (a 10^12-doc consensus shuffle easily does)
+        would look dead to a waiting peer, which would break the lease and
+        start a second concurrent write — exactly the torn-write race the
+        fence exists to prevent. Returns the stop event; the daemon thread
+        exits on its own if the lock file disappears."""
+        import os
+        import threading
+
+        stop = threading.Event()
+        path = self.catalog.writer_lock_path(name, fingerprint)
+        interval = max(self.writer_lease_sec / 3.0, 0.05)
+
+        def beat() -> None:
+            while not stop.wait(interval):
+                try:
+                    os.utime(path, None)
+                except OSError:
+                    break  # lock removed (release or takeover) — stop
+
+        threading.Thread(target=beat, daemon=True).start()
+        return stop
+
     def _acquire_or_wait(
         self, name: str, fingerprint: str, is_done: Callable[[], bool]
     ) -> bool:
@@ -111,6 +136,7 @@ class Runner:
             lambda: not (all_buckets - self.catalog.completed_buckets(name, fingerprint)),
         )
         rows_written = 0
+        heartbeat = self._start_heartbeat(name, fingerprint) if acquired else None
         try:
             # wipe stale data from any previous fingerprint (claim runs
             # under the writer fence so a racing peer can't interleave the
@@ -146,6 +172,8 @@ class Runner:
                 if empty:
                     self.catalog.record(name, empty)
         finally:
+            if heartbeat is not None:
+                heartbeat.set()
             if acquired:
                 self.catalog.release_writer(name, fingerprint)
         result = StageResult(
@@ -175,6 +203,7 @@ class Runner:
             fingerprint,
             lambda: bool(self.catalog.completed_buckets(name, fingerprint)),
         )
+        heartbeat = self._start_heartbeat(name, fingerprint) if acquired else None
         try:
             if acquired:
                 self.catalog.claim_fingerprint(name, fingerprint)
@@ -215,6 +244,8 @@ class Runner:
                         ],
                     )
         finally:
+            if heartbeat is not None:
+                heartbeat.set()
             if acquired:
                 self.catalog.release_writer(name, fingerprint)
         result_df = self.catalog.read(self.spark, name).drop(BUCKET_COL)

@@ -426,3 +426,41 @@ def bpe_train_merges(spark, sf_dir):
     words = _bpe_words(_t(spark, sf_dir, "documents"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
     return bpe_train(vocab, n_merges=_BPE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# bpe_segment_vocab: the trained merges APPLIED — the tokenizer-side output
+# ---------------------------------------------------------------------------
+
+def _bpe_segment_sql(rounds: int = _BPE_ROUNDS) -> str:
+    blocks = "".join(_bpe_round_sql(r) for r in range(rounds))
+    return f"""
+    WITH {_BPE_WORDS_CTE},
+    vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM words GROUP BY w),
+    r0 AS (
+      SELECT w, wc, CAST(i AS BIGINT) AS pos, substr(w, i, 1) AS sym
+      FROM vocab, UNNEST(generate_series(1, length(w))) AS t(i)
+    ){blocks}
+    SELECT w, wc, CAST(pos AS BIGINT) AS pos, sym FROM r{rounds}
+"""
+
+
+@query("bpe_segment_vocab", _bpe_segment_sql())
+def bpe_segment_vocab(spark, sf_dir):
+    """The other half of the BPE contract: train M=4 merges with the
+    parameterized trainer, then APPLY them to the weighted vocabulary with
+    ``operators.bpe.bpe_segment`` and emit the final (w, wc, pos, sym)
+    segmentation — what a tokenizer built from the trained rules produces.
+    The oracle replays the same 4 rounds of greedy non-overlapping merge
+    application in generated SQL (the round-CTE chain of
+    ``bpe_train_merges``) and selects the final symbol state, so both the
+    rule LEARNING and the rule APPLICATION are hash-checked cross-engine."""
+    from .operators.bpe import bpe_segment, bpe_train
+
+    words = _bpe_words(_t(spark, sf_dir, "documents"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    merges = [
+        (r["merge_round"], r["a"], r["b"], r["cnt"])
+        for r in bpe_train(vocab, n_merges=_BPE_ROUNDS).collect()
+    ]
+    return bpe_segment(vocab, merges)

@@ -237,3 +237,49 @@ def test_dead_writer_lease_is_taken_over(spark, tmp_path_factory):
     )
     assert runner.metrics[0].computed_buckets == N_BUCKETS
     assert s0.count() == normalize_docs(docs).count()
+
+
+def test_slow_live_writer_keeps_lease_via_heartbeat(spark, tmp_path_factory):
+    """A winner whose stage outlives writer_lease_sec must NOT lose its
+    lock to a waiting peer: the heartbeat refreshes the lease while the
+    transform runs. Lease 0.4s, transform pause 2s — without the
+    heartbeat the second Runner breaks the lease mid-write and both
+    compute (duplicate manifest rows); with it there is still exactly one
+    winner."""
+    import threading
+    import time as _time
+
+    out = tmp_path_factory.mktemp("kg_heartbeat")
+    docs = synth.synth_docs(spark, 80, seed=13)
+    entered = threading.Event()
+
+    def slow_normalize(df):
+        entered.set()
+        _time.sleep(2.0)  # > 4 lease periods
+        return normalize_docs(df)
+
+    results: dict[str, object] = {}
+
+    def run(tag: str, delay: float):
+        runner = Runner(
+            spark=spark, catalog=Catalog(str(out)), n_buckets=N_BUCKETS,
+            writer_lease_sec=0.4, writer_wait_sec=60.0, writer_poll_sec=0.05,
+        )
+        if delay:
+            entered.wait(10.0)
+            _time.sleep(delay)
+        runner.stage(
+            "s0_normalize", docs, slow_normalize, key="doc_id",
+            input_fingerprint="hb:80:13",
+        )
+        results[tag] = runner.metrics[0]
+
+    t1 = threading.Thread(target=run, args=("a", 0.0))
+    t2 = threading.Thread(target=run, args=("b", 0.6))  # past the bare lease
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    computed = sorted([results["a"].computed_buckets, results["b"].computed_buckets])
+    assert computed == [0, N_BUCKETS], (results["a"], results["b"])
+    cat = Catalog(str(out))
+    seen = [(r["bucket"], r["fingerprint"]) for r in cat.manifest_rows("s0_normalize")]
+    assert len(seen) == len(set(seen)) == N_BUCKETS, seen
