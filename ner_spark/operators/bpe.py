@@ -128,42 +128,52 @@ def bpe_train(
     merges: list[tuple[int, str, str, int]] = []
     scratch: str | None = None
     prev_persisted: DataFrame | None = None
-    for r in range(n_merges):
-        if r > 0 and r % scratch_every == 0:
-            # fault-tolerant lineage barrier on shared storage (alternating
-            # subdirs: round r only ever reads the previous barrier)
-            if scratch is None:
-                scratch = session_scratch_dir(spark, prefix="bpe_rounds")
-            out_dir = f"{scratch}/r{(r // scratch_every) % 2}"
-            rows.write.mode("overwrite").parquet(out_dir)
+    # try/finally: an exception mid-round (failed barrier write, killed
+    # collect) must not leave the round's MEMORY_AND_DISK persist pinned
+    # for the rest of the session (round-5 ADVICE) — both the previous and
+    # the current round's persist are released on the way out
+    try:
+        for r in range(n_merges):
+            if r > 0 and r % scratch_every == 0:
+                # fault-tolerant lineage barrier on shared storage
+                # (alternating subdirs: round r only ever reads the
+                # previous barrier)
+                if scratch is None:
+                    scratch = session_scratch_dir(spark, prefix="bpe_rounds")
+                out_dir = f"{scratch}/r{(r // scratch_every) % 2}"
+                rows.write.mode("overwrite").parquet(out_dir)
+                if prev_persisted is not None:
+                    prev_persisted.unpersist()
+                    prev_persisted = None
+                rows = spark.read.parquet(out_dir)
+            else:
+                rows = rows.persist()
+            pairs = (
+                rows.withColumn("nxt", F.lead("sym").over(wq))
+                .filter(F.col("nxt").isNotNull())
+                .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+                .agg(F.sum("wc").alias("cnt"))
+            )
+            # 1-row argmax to the driver: bounded by n_merges rounds,
+            # never by data (the aggregate is a map-side-partial
+            # struct-min)
+            win = pairs.agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("a"), F.col("b"))
+                ).alias("m")
+            ).collect()[0]["m"]
             if prev_persisted is not None:
                 prev_persisted.unpersist()
-                prev_persisted = None
-            rows = spark.read.parquet(out_dir)
-        else:
-            rows = rows.persist()
-        pairs = (
-            rows.withColumn("nxt", F.lead("sym").over(wq))
-            .filter(F.col("nxt").isNotNull())
-            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
-            .agg(F.sum("wc").alias("cnt"))
-        )
-        # 1-row argmax to the driver: bounded by n_merges rounds, never by
-        # data (the aggregate is a map-side-partial struct-min)
-        win = pairs.agg(
-            F.min(
-                F.struct((-F.col("cnt")).alias("nc"), F.col("a"), F.col("b"))
-            ).alias("m")
-        ).collect()[0]["m"]
+            prev_persisted = rows if rows.is_cached else None
+            if win is None or win["a"] is None:
+                break  # vocabulary exhausted — every word is one symbol
+            merges.append((r, win["a"], win["b"], int(-win["nc"])))
+            rows = _apply_merge(rows, win["a"], win["b"])
+    finally:
         if prev_persisted is not None:
             prev_persisted.unpersist()
-        prev_persisted = rows if rows.is_cached else None
-        if win is None or win["a"] is None:
-            break  # vocabulary exhausted — every word is one symbol
-        merges.append((r, win["a"], win["b"], int(-win["nc"])))
-        rows = _apply_merge(rows, win["a"], win["b"])
-    if prev_persisted is not None:
-        prev_persisted.unpersist()
+        if rows.is_cached:
+            rows.unpersist()
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 

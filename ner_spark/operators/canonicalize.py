@@ -302,7 +302,17 @@ def skew_aware_self_join(
     is tiny by definition and broadcasts) routes each row: cold keys take
     the plain equi-self-join, hot keys the salted path, and the union is
     exactly the plain join's pair set (pinned by tests). Per-row cost is
-    one broadcast-hash probe; no collect, no second scan of the data.
+    one broadcast-hash probe; no collect.
+
+    Single-scan contract (round-5 directive 2): the input is persisted via
+    ``scratch_persist`` inside this operator, so the UNDERLYING SOURCE is
+    scanned exactly once — the frequency aggregate materializes the cache
+    and the cold (left_anti) and hot (left_semi) branch probes read the
+    in-memory copy, not the source. At 100 TB that is 1x the mention-table
+    read, not 3x. The cache is registered for the host's next
+    ``release_scratch()`` boundary (see operators/scratch.py host
+    contract); a plan test pins that zero source scans survive in the
+    physical plan outside the single InMemoryRelation.
 
     The threshold is the reducer-size bound: a key with f rows produces
     f(f-1)/2 pairs on ONE reducer unsalted, f^2/(2 n_salt) per reducer
@@ -310,16 +320,19 @@ def skew_aware_self_join(
     hold. ``_tag_branch`` adds a ``via_salted`` bool for the regression
     guard test; production callers leave it off.
     """
+    from .scratch import scratch_persist
+
     payload_cols = payload_cols or [c for c in df.columns if c != key]
     uid = _pair_uid(payload_cols, id_col)
+    src = scratch_persist(df)
     hot = (
-        df.groupBy(key)
+        src.groupBy(key)
         .agg(F.count(F.lit(1)).alias("_f"))
         .filter(F.col("_f") > hot_threshold)
         .select(key)
     )
-    cold_df = df.join(F.broadcast(hot), key, "left_anti")
-    hot_df = df.join(F.broadcast(hot), key, "left_semi")
+    cold_df = src.join(F.broadcast(hot), key, "left_anti")
+    hot_df = src.join(F.broadcast(hot), key, "left_semi")
     # cold path: plain equi-join on the key (no replication)
     lcols = [F.col(f"l.{c}").alias(f"{c}_l") for c in payload_cols]
     rcols = [F.col(f"r.{c}").alias(f"{c}_r") for c in payload_cols]

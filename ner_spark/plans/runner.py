@@ -17,11 +17,18 @@ Global stages (connected components) cannot be bucket-partial; they
 checkpoint all-or-nothing under the same manifest mechanism.
 
 Concurrent runs: a lease-based writer fence (Catalog.try_acquire_writer)
-admits exactly ONE writer per (stage, fingerprint); a racing Runner waits
-on the winner's manifest and then reads, so two schedulers accidentally
-launching the same job cannot interleave a torn write or duplicate
-manifest rows. A winner that dies mid-run is taken over after its lease
-expires, resuming from its completed buckets.
+admits exactly ONE writer per stage TABLE — table-granular, not
+per-fingerprint, so two runners racing the same stage with different
+fingerprints (changed params/input) also serialize instead of
+interleaving claim_fingerprint's table reset with each other's data
+writes. A racing Runner waits on the winner's manifest and then reads, so
+two schedulers accidentally launching the same job cannot interleave a
+torn write or duplicate manifest rows. A winner that dies mid-run is
+taken over after its lease expires (atomic tombstone-rename break — one
+breaker wins even among many survivors), resuming from its completed
+buckets; locks carry owner tokens, the heartbeat stops the moment the
+token no longer matches, and a writer whose lease was broken+reissued
+aborts fatally before touching data or manifest.
 """
 
 from __future__ import annotations
@@ -65,29 +72,38 @@ class Runner:
     writer_poll_sec: float = 0.1
 
     def _start_heartbeat(self, name: str, fingerprint: str):
-        """Refresh the writer lock's mtime every lease/3 while the stage
-        computes. Without this, any stage whose wall time exceeds
-        ``writer_lease_sec`` (a 10^12-doc consensus shuffle easily does)
-        would look dead to a waiting peer, which would break the lease and
-        start a second concurrent write — exactly the torn-write race the
-        fence exists to prevent. Returns the stop event; the daemon thread
-        exits on its own if the lock file disappears."""
-        import os
+        """Refresh the writer lease every lease/3 while the stage computes.
+        Without this, any stage whose wall time exceeds ``writer_lease_sec``
+        (a 10^12-doc consensus shuffle easily does) would look dead to a
+        waiting peer, which would break the lease and start a second
+        concurrent write — exactly the torn-write race the fence exists to
+        prevent. The beat is ownership-verified (Catalog.heartbeat_writer):
+        if the lease was broken and reissued to another writer, the thread
+        stops beating (never touches the new owner's lock) and flags the
+        loss. Returns (stop_event, lost_event); the caller MUST abort its
+        write when ``lost_event`` is set — continuing would interleave with
+        the new owner."""
         import threading
 
         stop = threading.Event()
-        path = self.catalog.writer_lock_path(name, fingerprint)
+        lost = threading.Event()
         interval = max(self.writer_lease_sec / 3.0, 0.05)
 
         def beat() -> None:
             while not stop.wait(interval):
-                try:
-                    os.utime(path, None)
-                except OSError:
-                    break  # lock removed (release or takeover) — stop
+                if not self.catalog.heartbeat_writer(name, fingerprint):
+                    lost.set()
+                    break  # lock removed or reissued — stop, flag loss
 
         threading.Thread(target=beat, daemon=True).start()
-        return stop
+        return stop, lost
+
+    def _check_lease(self, name: str, lost) -> None:
+        if lost is not None and lost.is_set():
+            raise RuntimeError(
+                f"stage {name}: writer lease lost mid-run (lock broken and "
+                f"reissued to another writer) — aborting before writing"
+            )
 
     def _acquire_or_wait(
         self, name: str, fingerprint: str, is_done: Callable[[], bool]
@@ -136,11 +152,14 @@ class Runner:
             lambda: not (all_buckets - self.catalog.completed_buckets(name, fingerprint)),
         )
         rows_written = 0
-        heartbeat = self._start_heartbeat(name, fingerprint) if acquired else None
+        heartbeat, lost = (
+            self._start_heartbeat(name, fingerprint) if acquired else (None, None)
+        )
         try:
             # wipe stale data from any previous fingerprint (claim runs
             # under the writer fence so a racing peer can't interleave the
-            # reset with our data write)
+            # reset with our data write; the lock is TABLE-granular, so
+            # different-fingerprint racers serialize here too)
             if acquired:
                 self.catalog.claim_fingerprint(name, fingerprint)
             done = self.catalog.completed_buckets(name, fingerprint)
@@ -150,6 +169,7 @@ class Runner:
                 todo = bucketed_in.filter(F.col(BUCKET_COL).isin(missing)).drop(BUCKET_COL)
                 out = transform(todo)
                 out_bucketed = with_bucket(out, key, self.n_buckets)
+                self._check_lease(name, lost)
                 manifest = self.catalog.write_buckets(
                     out_bucketed, name, fingerprint, stage=name, buckets=missing
                 )
@@ -170,6 +190,7 @@ class Runner:
                     if b not in written
                 ]
                 if empty:
+                    self._check_lease(name, lost)
                     self.catalog.record(name, empty)
         finally:
             if heartbeat is not None:
@@ -203,13 +224,16 @@ class Runner:
             fingerprint,
             lambda: bool(self.catalog.completed_buckets(name, fingerprint)),
         )
-        heartbeat = self._start_heartbeat(name, fingerprint) if acquired else None
+        heartbeat, lost = (
+            self._start_heartbeat(name, fingerprint) if acquired else (None, None)
+        )
         try:
             if acquired:
                 self.catalog.claim_fingerprint(name, fingerprint)
             done = self.catalog.completed_buckets(name, fingerprint)
             if not done and acquired:
                 out = compute()
+                self._check_lease(name, lost)
                 manifest = self.catalog.write_buckets(
                     out.withColumn(BUCKET_COL, F.lit(0)), name, fingerprint, stage=name
                 )

@@ -16,7 +16,8 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass
+import uuid
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,6 +44,11 @@ def with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
 @dataclass
 class Catalog:
     root: str
+    # owner tokens for writer locks THIS catalog instance acquired
+    # (lock path -> token); release/heartbeat verify against the on-disk
+    # token so a broken-then-reissued lease is never removed by its old
+    # owner (round-5 ADVICE: ownership-less release defeats the lease)
+    _owned: dict = field(default_factory=dict, repr=False, compare=False)
 
     def table_dir(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -90,44 +96,103 @@ class Catalog:
     # parquet-shim analogue of Iceberg's optimistic-concurrency commit
     # (the production swap point, like the rest of this module).
 
-    def writer_lock_path(self, table: str, fingerprint: str) -> str:
-        return os.path.join(self.root, f"{table}.{fingerprint}.writer.lock")
+    def writer_lock_path(self, table: str, fingerprint: str = "") -> str:
+        """One lock per TABLE (the fingerprint arg is kept for API
+        stability but is not part of the key): ``claim_fingerprint`` wipes
+        the whole table dir + manifest on a fingerprint change, so two
+        runners racing the same stage with DIFFERENT fingerprints still
+        contend on the same directory — a per-(table, fingerprint) lock
+        would let them interleave reset_table with each other's data
+        writes (round-5 ADVICE). Table-granular locking serializes them;
+        last writer wins the fingerprint, which is the claim semantics."""
+        return os.path.join(self.root, f"{table}.writer.lock")
 
     def try_acquire_writer(
-        self, table: str, fingerprint: str, lease_sec: float = 600.0
+        self, table: str, fingerprint: str = "", lease_sec: float = 600.0
     ) -> bool:
-        """Atomically claim write ownership of (table, fingerprint).
+        """Atomically claim write ownership of ``table``.
 
         Returns True iff this process is now the single writer; the caller
         must ``release_writer`` when its buckets (data AND manifest rows)
         are fully recorded. False means a live writer holds the lease —
         poll ``completed_buckets`` instead of writing.
+
+        The lock file carries a unique owner token. Breaking a stale lease
+        is ATOMIC: the breaker ``os.rename``s the stale lock to a unique
+        tombstone — exactly one racing breaker succeeds, the losers see
+        FileNotFoundError and fall back to the O_CREAT|O_EXCL race — so
+        two survivors of a dead writer can never both remove "the" stale
+        lock and both acquire (the round-5 ADVICE double-admission race).
         """
         os.makedirs(self.root, exist_ok=True)
-        path = self.writer_lock_path(table, fingerprint)
+        path = self.writer_lock_path(table)
         for _ in range(2):  # second pass only after breaking a stale lock
+            token = uuid.uuid4().hex
             try:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}".encode("utf-8"))
+                os.write(fd, f"{token} {os.getpid()} {time.time()}".encode("utf-8"))
                 os.close(fd)
+                self._owned[path] = token
                 return True
             except FileExistsError:
                 try:
+                    # re-stat immediately before the break decision so a
+                    # heartbeat between our first sight of the lock and now
+                    # is honored
                     age = time.time() - os.path.getmtime(path)
                 except FileNotFoundError:
                     continue  # released between the two checks — retry
                 if age <= lease_sec:
                     return False
+                tomb = f"{path}.tomb.{token}"
                 try:
-                    os.remove(path)  # dead writer: break the lease
+                    os.rename(path, tomb)  # atomic: one breaker wins
                 except FileNotFoundError:
-                    pass
+                    continue  # another breaker / a release got it — retry
+                os.remove(tomb)
         return False
 
-    def release_writer(self, table: str, fingerprint: str) -> None:
+    def owns_writer(self, table: str, fingerprint: str = "") -> bool:
+        """True iff the lock on disk still carries THIS catalog's token."""
+        path = self.writer_lock_path(table)
+        token = self._owned.get(path)
+        if token is None:
+            return False
         try:
-            os.remove(self.writer_lock_path(table, fingerprint))
-        except FileNotFoundError:
+            with open(path, encoding="utf-8") as f:
+                return f.read().split(" ", 1)[0] == token
+        except OSError:
+            return False
+
+    def heartbeat_writer(self, table: str, fingerprint: str = "") -> bool:
+        """Refresh the lease iff we still own it. Returns False — and
+        touches nothing — when the lock was broken and reissued to another
+        writer (the caller must treat that as a lost lease, not keep
+        beating someone else's lock)."""
+        if not self.owns_writer(table):
+            return False
+        try:
+            os.utime(self.writer_lock_path(table), None)
+            return True
+        except OSError:
+            return False
+
+    def release_writer(self, table: str, fingerprint: str = "") -> None:
+        """Remove the lock only if this catalog still owns it (token
+        verify immediately before the unlink). If the lease was broken and
+        reissued while we ran, the new owner's lock is left untouched —
+        the old owner's finally-block must not admit a third writer by
+        deleting a live lock it no longer holds."""
+        path = self.writer_lock_path(table)
+        token = self._owned.pop(path, None)
+        if token is None:
+            return
+        try:
+            with open(path, encoding="utf-8") as f:
+                if f.read().split(" ", 1)[0] != token:
+                    return  # lease was broken + reissued: not ours anymore
+            os.remove(path)
+        except OSError:
             pass
 
     def reset_table(self, table: str) -> None:

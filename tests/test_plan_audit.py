@@ -182,18 +182,47 @@ def test_no_driver_local_scratch_or_local_checkpoint_in_source():
     The scan covers the whole ``ner_spark`` package with no exemptions;
     tests/ and tools/ (host-side, driver-only harnesses) are out of scope.
     """
+    import ast
+    import io
     import pathlib
     import re
+    import tokenize
 
     root = pathlib.Path(__file__).resolve().parent.parent / "ner_spark"
     banned = re.compile(r"\.localCheckpoint\(|tempfile\.mkdtemp\(|tempfile\.TemporaryDirectory\(|[\"']/tmp/")
     offenders = []
     for path in sorted(root.rglob("*.py")):
         rel = path.relative_to(root).as_posix()
-        for lineno, line in enumerate(path.read_text().splitlines(), 1):
-            code = line.split("#", 1)[0]  # docstrings may *discuss* the ban
-            if '"""' in line or "``" in line:
+        src = path.read_text()
+        # exact docstring line spans via the AST (round-5 ADVICE: the old
+        # scan skipped any line containing ``` `` ``` or triple quotes, so
+        # a banned call sharing a line with a backticked comment escaped);
+        # docstrings may *discuss* the ban, code may not invoke it
+        doc_lines: set[int] = set()
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if isinstance(
+                node, (ast.Module, ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef)
+            ):
+                body = getattr(node, "body", [])
+                if (
+                    body
+                    and isinstance(body[0], ast.Expr)
+                    and isinstance(body[0].value, ast.Constant)
+                    and isinstance(body[0].value.value, str)
+                ):
+                    d = body[0].value
+                    doc_lines.update(range(d.lineno, d.end_lineno + 1))
+        # exact comment spans via tokenize (a '#' inside a string literal
+        # must not truncate the scanned code)
+        comment_start: dict[int, int] = {}
+        for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+            if tok.type == tokenize.COMMENT:
+                comment_start[tok.start[0]] = tok.start[1]
+        for lineno, line in enumerate(src.splitlines(), 1):
+            if lineno in doc_lines:
                 continue
+            code = line[: comment_start[lineno]] if lineno in comment_start else line
             if banned.search(code):
                 offenders.append(f"{rel}:{lineno}: {line.strip()}")
     assert not offenders, "driver-local scratch/localCheckpoint found:\n" + "\n".join(offenders)

@@ -239,6 +239,93 @@ def test_dead_writer_lease_is_taken_over(spark, tmp_path_factory):
     assert s0.count() == normalize_docs(docs).count()
 
 
+def test_stale_break_admits_exactly_one_of_many_survivors(tmp_path_factory):
+    """Round-5 ADVICE (medium): breaking a stale lease must be atomic.
+    Many survivors of a dead writer race the break in the same poll
+    window; with a plain getmtime+remove, two can both remove "the" stale
+    lock and both acquire. The tombstone-rename break admits exactly one."""
+    import threading
+    import time as _time
+
+    out = tmp_path_factory.mktemp("lease_break")
+    dead = Catalog(str(out))
+    assert dead.try_acquire_writer("t", "fp", lease_sec=0.2)
+    _time.sleep(0.3)  # lease now stale
+
+    n = 8
+    gate = threading.Barrier(n)
+    wins: list[bool] = [False] * n
+
+    def racer(i: int) -> None:
+        cat = Catalog(str(out))
+        gate.wait()
+        wins[i] = cat.try_acquire_writer("t", "fp", lease_sec=0.2)
+
+    ts = [threading.Thread(target=racer, args=(i,)) for i in range(n)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sum(wins) == 1, wins
+
+
+def test_release_ignores_foreign_lock(tmp_path_factory):
+    """Round-5 ADVICE (medium): release verifies the owner token. Writer A
+    loses its lease (stall), writer B takes over; A's finally-block release
+    must NOT delete B's live lock (which would admit a third writer C)."""
+    import time as _time
+
+    out = tmp_path_factory.mktemp("lease_owner")
+    a = Catalog(str(out))
+    b = Catalog(str(out))
+    c = Catalog(str(out))
+    assert a.try_acquire_writer("t", "fp", lease_sec=0.2)
+    _time.sleep(0.3)  # A stalls past its lease
+    assert b.try_acquire_writer("t", "fp", lease_sec=0.2)  # takeover
+    assert not a.owns_writer("t") and b.owns_writer("t")
+    assert not a.heartbeat_writer("t")  # A's heartbeat refuses to touch it
+    a.release_writer("t", "fp")  # A's finally-block fires
+    assert b.owns_writer("t")  # B's lock survived
+    assert not c.try_acquire_writer("t", "fp", lease_sec=60.0)  # C stays out
+    b.release_writer("t", "fp")
+    assert c.try_acquire_writer("t", "fp", lease_sec=60.0)
+
+
+def test_lost_lease_aborts_before_write(spark, tmp_path_factory):
+    """A writer whose lease is broken and reissued mid-transform must abort
+    fatally instead of writing data/manifest rows that interleave with the
+    new owner's (round-5 ADVICE: treat a lost lease as a fatal abort)."""
+    import time as _time
+
+    out = tmp_path_factory.mktemp("lease_lost")
+    docs = synth.synth_docs(spark, 40, seed=3)
+    cat = Catalog(str(out))
+    runner = Runner(
+        spark=spark, catalog=cat, n_buckets=N_BUCKETS,
+        writer_lease_sec=0.3, writer_wait_sec=5.0, writer_poll_sec=0.05,
+    )
+    thief = Catalog(str(out))
+
+    def stealing_normalize(df):
+        # simulate a takeover: the thief breaks our (momentarily stale-
+        # looking) lock and issues its own while our transform still runs
+        path = cat.writer_lock_path("s0_normalize")
+        import os
+
+        os.remove(path)
+        assert thief.try_acquire_writer("s0_normalize", lease_sec=60.0)
+        _time.sleep(0.5)  # > one heartbeat interval: the loss is noticed
+        return normalize_docs(df)
+
+    with pytest.raises(RuntimeError, match="lease lost"):
+        runner.stage(
+            "s0_normalize", docs, stealing_normalize, key="doc_id",
+            input_fingerprint="steal:40:3",
+        )
+    assert cat.manifest_rows("s0_normalize") == []  # nothing was written
+    assert thief.owns_writer("s0_normalize")  # thief's lock untouched
+
+
 def test_slow_live_writer_keeps_lease_via_heartbeat(spark, tmp_path_factory):
     """A winner whose stage outlives writer_lease_sec must NOT lose its
     lock to a waiting peer: the heartbeat refreshes the lease while the
