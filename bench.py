@@ -116,8 +116,12 @@ def main() -> int:
 
     # first run pays per-stage JIT + codegen + Python-worker module imports
     # (fixed costs that vanish on a long-running cluster app); the second,
-    # same-JVM run is the steady-state throughput (measured ~5x apart)
+    # same-JVM run is the steady-state throughput (measured ~5x apart).
+    # A probe stamp BETWEEN the two runs (round-5 directive 1) makes a
+    # mid-measurement throttle phase flip attributable: warm < cold with
+    # probe_mid far below probe_before is the hypervisor, not the code.
     kg_sec = run_pipe()
+    probe_mid = _probe_gbps()
     kg_sec_warm = run_pipe()
     timings["kg_pipeline_synth"] = round(kg_sec, 3)
 
@@ -135,6 +139,7 @@ def main() -> int:
                 "n_bench_docs": n_bench_docs,
                 "cpus": cpus,
                 "probe_gbps_before": probe_before,
+                "probe_gbps_mid_pipe": probe_mid,
                 "probe_gbps_after": _probe_gbps(),
             }
         )

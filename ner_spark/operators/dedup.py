@@ -792,12 +792,50 @@ def winnow_fingerprints(
     )
 
 
+def _verify_pair_candidates(
+    cand: DataFrame, sets: DataFrame, threshold_pct: int
+) -> DataFrame:
+    """Exact integer-Jaccard verify of (doc_a, doc_b) candidate pairs
+    against collected shingle arrays; shared by the exact prefix-filter
+    path and its MinHash degrade path so both emit the same schema
+    (doc_a, doc_b, n_a, n_b, inter, jaccard)."""
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sized = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
+        )
+    )
+    uni = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return sized.filter(F.col("inter") * 100 >= uni * threshold_pct).select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_b",
+        "inter",
+        F.round(F.col("inter") / uni, 4).alias("jaccard"),
+    )
+
+
+class CandidateBudgetExceeded(RuntimeError):
+    """Raised by prefix_filter_pairs(on_exceed='error') when the pre-flight
+    candidate estimate exceeds max_candidates."""
+
+
 def prefix_filter_pairs(
     docs: DataFrame,
     threshold_pct: int = 70,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_candidates: int | None = None,
+    on_exceed: str = "degrade",
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (AllPairs /
     PPJoin, Bayardo et al. WWW'07): provably every pair with shingle
@@ -819,6 +857,21 @@ def prefix_filter_pairs(
     collected shingle arrays — integer Jaccard, one rounded double at the
     edge. Unlike ngram_jaccard_pairs (df-capped, drops hot-shingle-only
     pairs by design) this returns the EXACT threshold join output.
+
+    Candidate-budget guard (round-5 directive 3): exactness has an honest
+    linear-per-doc cost — measured 10.2x wall at 10x docs
+    (BENCH/sf1_stress_r04.json) where every sibling is sublinear — so at
+    100x this is the first dedup query to die, and nothing used to guard
+    the knobs. With ``max_candidates`` set, a pre-flight audit computes
+    the candidate-pair bound sum(c*(c-1)/2) over per-shingle prefix
+    posting counts (one map-side-combinable aggregate + a 1-row collect,
+    the ``kg_linking_skew_audit`` pattern). Over budget, ``on_exceed``
+    picks the failure mode: ``"degrade"`` switches candidate generation
+    to the banded MinHash-LSH path (O(docs x bands), k=32/bands=16 —
+    ~1.0 recall at J>=0.7) with the SAME exact-verify step and output
+    schema, trading provable completeness for survival; ``"error"``
+    raises :class:`CandidateBudgetExceeded` with the estimate so a
+    scheduler can re-shard or raise the budget deliberately.
     """
     from pyspark.sql import Window
 
@@ -843,6 +896,29 @@ def prefix_filter_pairs(
         + 1
     )
     prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc", "shingle")
+    if max_candidates is not None:
+        # the estimate and the candidate join both consume the ranked
+        # prefix (a df-join + two windows) — barrier it so the pre-flight
+        # does not double that work when the budget holds
+        prefix = scratch_persist(prefix)
+        est_row = (
+            prefix.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("est"))
+            .collect()[0]
+        )
+        est = int(est_row["est"] or 0)
+        if est > max_candidates:
+            if on_exceed == "error":
+                raise CandidateBudgetExceeded(
+                    f"prefix-filter candidate estimate {est} exceeds budget "
+                    f"{max_candidates}; re-shard the corpus, raise the "
+                    f"budget, or accept the MinHash degrade path"
+                )
+            cand = minhash_lsh_pairs(
+                docs, k=32, bands=16, n=n, text_col=text_col, id_col=id_col
+            )
+            return _verify_pair_candidates(cand, sets, threshold_pct)
     cand = (
         prefix.alias("a")
         .join(
@@ -853,28 +929,7 @@ def prefix_filter_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
-    sized = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size("sh_a").cast("long").alias("n_a"),
-            F.size("sh_b").cast("long").alias("n_b"),
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
-        )
-    )
-    uni = F.col("n_a") + F.col("n_b") - F.col("inter")
-    return sized.filter(F.col("inter") * 100 >= uni * threshold_pct).select(
-        "doc_a",
-        "doc_b",
-        "n_a",
-        "n_b",
-        "inter",
-        F.round(F.col("inter") / uni, 4).alias("jaccard"),
-    )
+    return _verify_pair_candidates(cand, sets, threshold_pct)
 
 
 def segment_firstseen(docs: DataFrame, width: int = 16) -> DataFrame:

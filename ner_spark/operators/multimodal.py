@@ -5,17 +5,24 @@ metadata struct; decode / feature-extraction / resize / frame-sampling run
 as Arrow-batched functions over ``mapInPandas`` so whole batches of bytes
 cross the JVM/Python boundary once.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
-decode step is stubbed: ``decode_media`` raises NotImplementedError unless
-``fake=True``, in which case a clearly-marked deterministic fake produces
-(width, height, n_frames) from the payload hash. Everything around the stub
-— schemas, batch iteration, partition-preserving shapes, output contracts —
-is real and tested; swapping in a real codec changes only ``_decode_one``.
+Codec coverage (round-5 directive 8): the heavyweight codecs (PIL/librosa/
+ffmpeg) are NOT in this container, but ``fake=False`` is a REAL, tested
+path for the formats a pure-stdlib parser can decode — uncompressed BMP,
+binary/ASCII PPM (P6/P3), and PCM WAV — via header+payload parsing in
+``_decode_bmp``/``_decode_ppm``/``_decode_wav``. NotImplementedError is
+reserved for genuinely unsupported codecs (JPEG/PNG/MP4/...), where a
+production deployment swaps in the real library inside ``_decode_one``
+without touching the Spark-side plumbing. ``fake=True`` keeps the
+clearly-marked deterministic stub (dimensions from the payload md5) that
+the DuckDB oracle replays; everything around the decode — schemas, batch
+iteration, partition-preserving shapes, output contracts — is shared by
+both branches.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -102,13 +109,154 @@ def media_from_ref_table(documents: DataFrame) -> DataFrame:
     )
 
 
+def _decode_bmp(payload: bytes):
+    """Uncompressed BITMAPINFOHEADER BMP: header-parse dims + per-channel
+    pixel means as the feature vector. Pure stdlib (struct), no PIL."""
+    if len(payload) < 54:
+        raise ValueError("BMP truncated before BITMAPINFOHEADER")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP core-header variant ({hdr_size}B) unsupported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP compression={compression} bpp={bpp} unsupported (BI_RGB 24/32 only)"
+        )
+    h = abs(height)
+    nch = bpp // 8
+    row_bytes = (width * nch + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    sums = [0] * 3
+    npx = 0
+    for r in range(h):
+        base = data_off + r * row_bytes
+        for c in range(width):
+            px = base + c * nch
+            if px + 3 > len(payload):
+                raise ValueError("BMP pixel array truncated")
+            sums[0] += payload[px + 2]  # BGR(A) order on disk
+            sums[1] += payload[px + 1]
+            sums[2] += payload[px]
+            npx += 1
+    feats = [s / (255.0 * npx) for s in sums] if npx else [0.0, 0.0, 0.0]
+    return width, h, 1, feats
+
+
+def _decode_ppm(payload: bytes):
+    """Netpbm PPM (P6 binary / P3 ASCII): tokenizing header parse (comments
+    included) + per-channel sample means."""
+    pos = 2  # past magic
+    magic = payload[:2]
+
+    def next_token() -> bytes:
+        nonlocal pos
+        while pos < len(payload):
+            ch = payload[pos : pos + 1]
+            if ch == b"#":  # comment to end-of-line
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+            elif ch.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("PPM header truncated")
+        return payload[start:pos]
+
+    width = int(next_token())
+    height = int(next_token())
+    maxval = int(next_token())
+    if maxval <= 0 or maxval > 255:
+        raise NotImplementedError(f"PPM maxval={maxval} unsupported (8-bit only)")
+    sums = [0, 0, 0]
+    npx = width * height
+    if magic == b"P6":
+        pos += 1  # exactly one whitespace byte after maxval
+        raster = payload[pos : pos + npx * 3]
+        if len(raster) < npx * 3:
+            raise ValueError("PPM raster truncated")
+        for i in range(npx):
+            sums[0] += raster[3 * i]
+            sums[1] += raster[3 * i + 1]
+            sums[2] += raster[3 * i + 2]
+    else:  # P3: ASCII samples
+        vals = payload[pos:].split()
+        if len(vals) < npx * 3:
+            raise ValueError("PPM raster truncated")
+        for i in range(npx):
+            sums[0] += int(vals[3 * i])
+            sums[1] += int(vals[3 * i + 1])
+            sums[2] += int(vals[3 * i + 2])
+    feats = [s / (maxval * npx) for s in sums] if npx else [0.0, 0.0, 0.0]
+    return width, height, 1, feats
+
+
+def _decode_wav(payload: bytes):
+    """RIFF/WAVE PCM: chunk-walk to fmt + data; returns (n_channels,
+    bits_per_sample, n_sample_frames, [duration_sec, mean_abs_amplitude])."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"WAV format={audio_fmt} bits={bits} unsupported (PCM 8/16-bit only)"
+        )
+    bytes_per_frame = n_ch * bits // 8
+    n_frames = len(data) // bytes_per_frame if bytes_per_frame else 0
+    total = 0.0
+    n_samp = n_frames * n_ch
+    if bits == 16:
+        for i in range(n_samp):
+            total += abs(struct.unpack_from("<h", data, 2 * i)[0]) / 32768.0
+    else:
+        for i in range(n_samp):
+            total += abs(data[i] - 128) / 128.0
+    mean_abs = total / n_samp if n_samp else 0.0
+    duration = n_frames / rate if rate else 0.0
+    return n_ch, bits, n_frames, [duration, mean_abs]
+
+
+def _decode_real(payload: bytes, media_type: str):
+    """Dispatch on magic bytes; NotImplementedError ONLY for codecs a
+    stdlib parser genuinely can't handle (the production swap point)."""
+    p = payload or b""
+    if p[:2] == b"BM":
+        return _decode_bmp(p)
+    if p[:2] in (b"P6", b"P3"):
+        return _decode_ppm(p)
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return _decode_wav(p)
+    raise NotImplementedError(
+        f"unsupported codec for media_type={media_type!r} "
+        f"(magic={p[:4]!r}); in-container real decode covers uncompressed "
+        f"BMP, PPM (P6/P3) and PCM WAV — swap a real library (PIL/ffmpeg) "
+        f"into _decode_real for the rest"
+    )
+
+
 def _decode_one(payload: bytes, media_type: str, fake: bool):
     if not fake:
-        # real codec path (PIL / ffmpeg) — not available in this container
-        raise NotImplementedError(
-            "media decode requires image/audio codecs not present in this "
-            "environment; call with fake=True for the deterministic stub"
-        )
+        return _decode_real(payload, media_type)
     # md5 (not blake2b) so the DuckDB oracle can replay the fake dimensions
     # byte-for-byte: width = 64 + digest[0] % 192, etc.
     h = hashlib.md5(payload or b"").digest()

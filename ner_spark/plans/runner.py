@@ -48,6 +48,12 @@ def _fp(*parts: str) -> str:
     return hashlib.sha256("\x1f".join(parts).encode("utf-8")).hexdigest()[:16]
 
 
+class LeaseLost(RuntimeError):
+    """This writer's lease was broken and reissued mid-run; its attempt is
+    discarded before any data/manifest write and the Runner re-enters the
+    acquire-or-wait loop (the new owner is doing the work)."""
+
+
 @dataclass
 class StageResult:
     table: str
@@ -99,10 +105,20 @@ class Runner:
         return stop, lost
 
     def _check_lease(self, name: str, lost) -> None:
-        if lost is not None and lost.is_set():
-            raise RuntimeError(
+        """Abort the write if this writer no longer owns the lease. Two
+        layers: the heartbeat's ``lost`` flag (async, lease/3 cadence) and
+        a SYNCHRONOUS on-disk token verify immediately before each write —
+        lock-file protocols on plain filesystems cannot make *admission*
+        perfectly atomic (a breaker can transiently yank a live lock in a
+        sub-ms window; see Catalog.try_acquire_writer), so single-WRITER
+        safety is enforced here: whoever's token is on disk at write time
+        writes; everyone else raises LeaseLost and falls back to waiting
+        on the owner (stage/global_stage catch it and re-enter the
+        acquire-or-wait loop)."""
+        if (lost is not None and lost.is_set()) or not self.catalog.owns_writer(name):
+            raise LeaseLost(
                 f"stage {name}: writer lease lost mid-run (lock broken and "
-                f"reissued to another writer) — aborting before writing"
+                f"reissued to another writer) — discarding this attempt"
             )
 
     def _acquire_or_wait(
@@ -146,57 +162,77 @@ class Runner:
         t0 = time.time()
         fingerprint = _fp(name, input_fingerprint, params, str(self.n_buckets))
         all_buckets = set(range(self.n_buckets))
-        acquired = self._acquire_or_wait(
-            name,
-            fingerprint,
-            lambda: not (all_buckets - self.catalog.completed_buckets(name, fingerprint)),
-        )
         rows_written = 0
-        heartbeat, lost = (
-            self._start_heartbeat(name, fingerprint) if acquired else (None, None)
-        )
-        try:
-            # wipe stale data from any previous fingerprint (claim runs
-            # under the writer fence so a racing peer can't interleave the
-            # reset with our data write; the lock is TABLE-granular, so
-            # different-fingerprint racers serialize here too)
-            if acquired:
-                self.catalog.claim_fingerprint(name, fingerprint)
-            done = self.catalog.completed_buckets(name, fingerprint)
-            missing = sorted(all_buckets - done) if acquired else []
-            if missing:
-                bucketed_in = with_bucket(input_df, key, self.n_buckets)
-                todo = bucketed_in.filter(F.col(BUCKET_COL).isin(missing)).drop(BUCKET_COL)
-                out = transform(todo)
-                out_bucketed = with_bucket(out, key, self.n_buckets)
-                self._check_lease(name, lost)
-                manifest = self.catalog.write_buckets(
-                    out_bucketed, name, fingerprint, stage=name, buckets=missing
-                )
-                rows_written = sum(r["rows"] for r in manifest)
-                # buckets with zero output rows still count as completed
-                written = {r["bucket"] for r in manifest}
-                empty = [
-                    {
-                        "stage": name,
-                        "table": name,
-                        "bucket": b,
-                        "fingerprint": fingerprint,
-                        "rows": 0,
-                        "wall_ms": 0,
-                        "ts": time.time(),
-                    }
-                    for b in missing
-                    if b not in written
-                ]
-                if empty:
+        done: set[int] = set()
+        missing: list[int] = []
+        # lease-lost retry loop: an admitted writer whose lease is broken
+        # and reissued discards its attempt (before any write) and
+        # re-enters acquire-or-wait — the new owner is doing the work
+        for _attempt in range(3):
+            acquired = self._acquire_or_wait(
+                name,
+                fingerprint,
+                lambda: not (all_buckets - self.catalog.completed_buckets(name, fingerprint)),
+            )
+            heartbeat, lost = (
+                self._start_heartbeat(name, fingerprint) if acquired else (None, None)
+            )
+            try:
+                # wipe stale data from any previous fingerprint (claim runs
+                # under the writer fence so a racing peer can't interleave
+                # the reset with our data write; the lock is TABLE-granular,
+                # so different-fingerprint racers serialize here too)
+                if acquired:
+                    self.catalog.claim_fingerprint(name, fingerprint)
+                done = self.catalog.completed_buckets(name, fingerprint)
+                missing = sorted(all_buckets - done) if acquired else []
+                if acquired:
+                    # torn-write cleanup: a predecessor killed mid-write
+                    # left data in buckets it never manifested; drop those
+                    # dirs so a zero-output recompute cannot inherit stale
+                    # rows
+                    self.catalog.prune_unmanifested(name, done)
+                if missing:
+                    bucketed_in = with_bucket(input_df, key, self.n_buckets)
+                    todo = bucketed_in.filter(F.col(BUCKET_COL).isin(missing)).drop(BUCKET_COL)
+                    out = transform(todo)
+                    out_bucketed = with_bucket(out, key, self.n_buckets)
                     self._check_lease(name, lost)
-                    self.catalog.record(name, empty)
-        finally:
-            if heartbeat is not None:
-                heartbeat.set()
-            if acquired:
-                self.catalog.release_writer(name, fingerprint)
+                    manifest = self.catalog.write_buckets(
+                        out_bucketed, name, fingerprint, stage=name, buckets=missing
+                    )
+                    rows_written = sum(r["rows"] for r in manifest)
+                    # buckets with zero output rows still count as completed
+                    written = {r["bucket"] for r in manifest}
+                    empty = [
+                        {
+                            "stage": name,
+                            "table": name,
+                            "bucket": b,
+                            "fingerprint": fingerprint,
+                            "rows": 0,
+                            "wall_ms": 0,
+                            "ts": time.time(),
+                        }
+                        for b in missing
+                        if b not in written
+                    ]
+                    if empty:
+                        self._check_lease(name, lost)
+                        self.catalog.record(name, empty)
+                break
+            except LeaseLost:
+                done, missing, rows_written = set(), [], 0
+                continue
+            finally:
+                if heartbeat is not None:
+                    heartbeat.set()
+                if acquired:
+                    self.catalog.release_writer(name, fingerprint)
+        else:
+            raise TimeoutError(
+                f"stage {name}: lease lost on every attempt — giving up"
+            )
         result = StageResult(
             table=name,
             fingerprint=fingerprint,
@@ -219,59 +255,74 @@ class Runner:
         """All-or-nothing stage (e.g. connected components)."""
         t0 = time.time()
         fingerprint = _fp(name, input_fingerprint, params)
-        acquired = self._acquire_or_wait(
-            name,
-            fingerprint,
-            lambda: bool(self.catalog.completed_buckets(name, fingerprint)),
-        )
-        heartbeat, lost = (
-            self._start_heartbeat(name, fingerprint) if acquired else (None, None)
-        )
-        try:
-            if acquired:
-                self.catalog.claim_fingerprint(name, fingerprint)
-            done = self.catalog.completed_buckets(name, fingerprint)
-            if not done and acquired:
-                out = compute()
-                self._check_lease(name, lost)
-                manifest = self.catalog.write_buckets(
-                    out.withColumn(BUCKET_COL, F.lit(0)), name, fingerprint, stage=name
-                )
-                if not manifest:
-                    # a legitimately-empty result writes no parquet and hence
-                    # no manifest row; without an explicit completion marker
-                    # every resume would re-run the whole compute() (the
-                    # per-bucket stage above handles this with its
-                    # empty-bucket rows). The empty frame is rewritten
-                    # UNPARTITIONED: a partitioned empty write leaves only
-                    # _SUCCESS and the read-back cannot infer a schema, while
-                    # the unpartitioned form writes one schema-bearing (0-row)
-                    # parquet file. Built from the schema, NOT from `out` —
-                    # write_buckets already executed the full compute() DAG
-                    # once to learn it was empty, and re-writing `out` would
-                    # run that whole DAG a second time just to produce 0 rows.
-                    self.spark.createDataFrame([], out.schema).withColumn(
-                        BUCKET_COL, F.lit(0)
-                    ).write.mode("overwrite").parquet(self.catalog.table_dir(name))
-                    self.catalog.record(
-                        name,
-                        [
-                            {
-                                "stage": name,
-                                "table": name,
-                                "bucket": 0,
-                                "fingerprint": fingerprint,
-                                "rows": 0,
-                                "wall_ms": 0,
-                                "ts": time.time(),
-                            }
-                        ],
+        done: set[int] = set()
+        for _attempt in range(3):
+            acquired = self._acquire_or_wait(
+                name,
+                fingerprint,
+                lambda: bool(self.catalog.completed_buckets(name, fingerprint)),
+            )
+            heartbeat, lost = (
+                self._start_heartbeat(name, fingerprint) if acquired else (None, None)
+            )
+            try:
+                if acquired:
+                    self.catalog.claim_fingerprint(name, fingerprint)
+                done = self.catalog.completed_buckets(name, fingerprint)
+                if not done and acquired:
+                    # all-or-nothing stage: nothing is manifested, so any
+                    # leftover data is a predecessor's torn write — drop it
+                    self.catalog.prune_unmanifested(name, set())
+                    out = compute()
+                    self._check_lease(name, lost)
+                    manifest = self.catalog.write_buckets(
+                        out.withColumn(BUCKET_COL, F.lit(0)), name, fingerprint, stage=name
                     )
-        finally:
-            if heartbeat is not None:
-                heartbeat.set()
-            if acquired:
-                self.catalog.release_writer(name, fingerprint)
+                    if not manifest:
+                        # a legitimately-empty result writes no parquet and
+                        # hence no manifest row; without an explicit
+                        # completion marker every resume would re-run the
+                        # whole compute() (the per-bucket stage above
+                        # handles this with its empty-bucket rows). The
+                        # empty frame is rewritten UNPARTITIONED: a
+                        # partitioned empty write leaves only _SUCCESS and
+                        # the read-back cannot infer a schema, while the
+                        # unpartitioned form writes one schema-bearing
+                        # (0-row) parquet file. Built from the schema, NOT
+                        # from `out` — write_buckets already executed the
+                        # full compute() DAG once to learn it was empty,
+                        # and re-writing `out` would run that whole DAG a
+                        # second time just to produce 0 rows.
+                        self.spark.createDataFrame([], out.schema).withColumn(
+                            BUCKET_COL, F.lit(0)
+                        ).write.mode("overwrite").parquet(self.catalog.table_dir(name))
+                        self.catalog.record(
+                            name,
+                            [
+                                {
+                                    "stage": name,
+                                    "table": name,
+                                    "bucket": 0,
+                                    "fingerprint": fingerprint,
+                                    "rows": 0,
+                                    "wall_ms": 0,
+                                    "ts": time.time(),
+                                }
+                            ],
+                        )
+                break
+            except LeaseLost:
+                done = set()
+                continue
+            finally:
+                if heartbeat is not None:
+                    heartbeat.set()
+                if acquired:
+                    self.catalog.release_writer(name, fingerprint)
+        else:
+            raise TimeoutError(
+                f"stage {name}: lease lost on every attempt — giving up"
+            )
         result_df = self.catalog.read(self.spark, name).drop(BUCKET_COL)
         rows_written = sum(
             r["rows"]

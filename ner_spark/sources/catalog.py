@@ -118,15 +118,30 @@ class Catalog:
         poll ``completed_buckets`` instead of writing.
 
         The lock file carries a unique owner token. Breaking a stale lease
-        is ATOMIC: the breaker ``os.rename``s the stale lock to a unique
-        tombstone — exactly one racing breaker succeeds, the losers see
-        FileNotFoundError and fall back to the O_CREAT|O_EXCL race — so
-        two survivors of a dead writer can never both remove "the" stale
-        lock and both acquire (the round-5 ADVICE double-admission race).
+        goes through an atomic ``os.rename`` to a unique tombstone (one
+        renamer wins; losers fall back to the O_CREAT|O_EXCL race) with a
+        token re-verify after the rename, so racing survivors of a dead
+        writer cannot both remove "the" stale lock (the round-5 ADVICE
+        double-admission race). Exact guarantee: plain-filesystem lock
+        files cannot make ADMISSION perfectly atomic — in a sub-ms window
+        a breaker can yank a just-reissued live lock and a third racer can
+        create before the restore, transiently double-admitting — but
+        OWNERSHIP (the on-disk token, what ``owns_writer`` checks and the
+        Runner verifies synchronously before every write) is always
+        singular, so at most one admitted writer ever writes; the other
+        aborts on its pre-write verify. Production on shared storage swaps
+        this shim for the table format's commit protocol (Iceberg),
+        like the rest of this module.
         """
         os.makedirs(self.root, exist_ok=True)
         path = self.writer_lock_path(table)
-        for _ in range(2):  # second pass only after breaking a stale lock
+        # bounded retry: each pass either creates, sees a live lock
+        # (return False), or breaks/observes a broken stale lock and
+        # retries the create — a successful break ALWAYS earns another
+        # create attempt (returning False right after breaking would
+        # orphan the lock: every racer could break-and-bail, admitting
+        # nobody)
+        for _ in range(8):
             token = uuid.uuid4().hex
             try:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -136,11 +151,14 @@ class Catalog:
                 return True
             except FileExistsError:
                 try:
-                    # re-stat immediately before the break decision so a
-                    # heartbeat between our first sight of the lock and now
-                    # is honored
+                    # observe (token, age) of the SAME lock instance; the
+                    # re-stat immediately before the break decision honors
+                    # a heartbeat between our first sight of the lock and
+                    # now
+                    with open(path, encoding="utf-8") as f:
+                        stale_token = f.read().split(" ", 1)[0]
                     age = time.time() - os.path.getmtime(path)
-                except FileNotFoundError:
+                except OSError:
                     continue  # released between the two checks — retry
                 if age <= lease_sec:
                     return False
@@ -149,7 +167,28 @@ class Catalog:
                     os.rename(path, tomb)  # atomic: one breaker wins
                 except FileNotFoundError:
                     continue  # another breaker / a release got it — retry
+                # verify we yanked the lock we MEASURED as stale: a racing
+                # breaker may have broken it and recreated a fresh lock
+                # between our stat and our rename — renaming that live
+                # lock away would admit a second writer
+                try:
+                    with open(tomb, encoding="utf-8") as f:
+                        yanked_token = f.read().split(" ", 1)[0]
+                except OSError:
+                    yanked_token = None
+                if yanked_token == stale_token:
+                    os.remove(tomb)  # correct break — retry the create
+                    continue
+                # yanked a LIVE lock: restore it atomically (link fails if
+                # a third racer already created a new lock at path; that
+                # survivor keeps it, and the yanked owner's token-verified
+                # heartbeat flags the loss so it aborts before writing)
+                try:
+                    os.link(tomb, path)
+                except (FileExistsError, OSError):
+                    pass
                 os.remove(tomb)
+                return False
         return False
 
     def owns_writer(self, table: str, fingerprint: str = "") -> bool:
@@ -194,6 +233,38 @@ class Catalog:
             os.remove(path)
         except OSError:
             pass
+
+    def prune_unmanifested(self, table: str, keep: set[int]) -> list[int]:
+        """Remove bucket dirs that are NOT in the completed-manifest set.
+
+        A writer killed mid-``write_buckets`` leaves whole task files in
+        some bucket dirs with no manifest rows (the manifest is appended
+        only after the write). On resume, dynamic partition overwrite
+        replaces exactly the buckets PRESENT in the new write — so a
+        bucket whose recompute legitimately emits zero rows would keep the
+        dead writer's partial file, and the read-back row count would
+        record those stale rows as the bucket's content. Pruning
+        un-manifested bucket dirs (and commit-protocol ``_temporary``
+        leftovers) before the recompute closes that torn-write window;
+        manifested buckets are never touched. Returns the pruned ids.
+        """
+        import re
+        import shutil
+
+        tdir = self.table_dir(table)
+        if not os.path.isdir(tdir):
+            return []
+        pruned = []
+        for d in os.listdir(tdir):
+            full = os.path.join(tdir, d)
+            m = re.fullmatch(rf"{BUCKET_COL}=(-?\d+)", d)
+            if m and os.path.isdir(full):
+                if int(m.group(1)) not in keep:
+                    shutil.rmtree(full, ignore_errors=True)
+                    pruned.append(int(m.group(1)))
+            elif d.startswith("_temporary"):
+                shutil.rmtree(full, ignore_errors=True)
+        return sorted(pruned)
 
     def reset_table(self, table: str) -> None:
         import shutil

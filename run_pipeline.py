@@ -29,6 +29,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None)
     p.add_argument("--n-buckets", type=int, default=32)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--writer-lease-sec", type=float, default=600.0,
+        help="writer-fence lease; a successor of a KILLED run waits this "
+        "long before breaking the dead writer's lock (live writers "
+        "heartbeat every lease/3, so short leases are safe)",
+    )
+    p.add_argument("--writer-wait-sec", type=float, default=600.0)
     p.add_argument("--skip-canonical", action="store_true")
     p.add_argument(
         "--compact",
@@ -85,7 +92,13 @@ def main(argv: list[str] | None = None) -> int:
     combos = [c["slots"] for c in synth.TRUSTED_COMBOS]
     pipe = KGPipeline(gazetteer=gaz, patterns=pat, trusted_combos=combos)
 
-    runner = Runner(spark=spark, catalog=Catalog(args.out), n_buckets=args.n_buckets)
+    runner = Runner(
+        spark=spark,
+        catalog=Catalog(args.out),
+        n_buckets=args.n_buckets,
+        writer_lease_sec=args.writer_lease_sec,
+        writer_wait_sec=args.writer_wait_sec,
+    )
 
     s0, fp0 = runner.stage("s0_normalize", docs, normalize_docs, key="doc_id",
                            input_fingerprint=input_fp)

@@ -181,6 +181,86 @@ def test_correction_join_vs_reference_workbook(spark):
     assert got == expected
 
 
+CASEN_FIXTURE = "/root/reference/src/Results/CasEN/Res_CasEN/corpus.result.txt"
+
+
+@pytest.mark.skipif(not os.path.exists(CASEN_FIXTURE), reason="reference fixture absent")
+def test_casen_opti2_promotion_counts_on_real_fixture(spark):
+    """F3 fidelity pin on REAL data (round-5 directive 4): the reference's
+    literal 59-combo ``casEN_opti2`` table (shipped as
+    ner_spark/extractors/casen_combos.py; reference: src/config.yaml:
+    269-446) applied to the mentions parsed from the committed 3,448-doc
+    CasEN fixture, under both reference variants.
+
+    The pinned counts document the NaN quirk's real-data magnitude: under
+    the as-run semantics (ner_config.py:170-191 — a pandas NaN in a grf
+    slot never equals the combo's ""), only full-3-slot combos can fire,
+    promoting 18 mentions; under the legacy variant (ner_config_old.py:
+    241-243 — missing grf mapped to "" before compare) the 1-/2-slot
+    combos fire too, promoting 5,602 of 15,754. Both counts are
+    re-derived in-test by a literal pure-Python replay of
+    ``keep_precise_graphs`` so the pin cannot drift with the operator.
+    """
+    from ner_spark.extractors.casen_combos import CASEN_OPTI2
+    from ner_spark.operators.consensus import promote_trusted
+    from ner_spark.sources import casen_xml as CX
+
+    with open(CASEN_FIXTURE, encoding="utf-8") as f:
+        docs = CX.parse_result_file(f.read())
+    mentions = [
+        (
+            ",".join(map(str, d["doc_ids"])),
+            m["NE"],
+            m["label"],
+            m["start"],
+            m["end"],
+            "casEN",
+            m["grfs"],
+        )
+        for d in docs
+        for m in d["mentions"]
+    ]
+    assert len(mentions) == 15754
+
+    # independent replay of reference keep_precise_graphs (both variants)
+    def replay(legacy: bool) -> int:
+        n = 0
+        for m in mentions:
+            grfs = m[6] or []
+            for c in CASEN_OPTI2:
+                ok = True
+                for i, slot in enumerate(c):
+                    got = grfs[i] if i < len(grfs) else None
+                    if legacy and got is None:
+                        got = ""
+                    if got != slot:
+                        ok = False
+                        break
+                if ok:
+                    n += 1
+                    break
+        return n
+
+    df = spark.createDataFrame(
+        mentions,
+        "doc_uid string, NE string, label string, start int, end int,"
+        " method string, grfs array<string>",
+    )
+    combos = [list(c) for c in CASEN_OPTI2]
+    n_asrun = (
+        promote_trusted(df, combos)
+        .filter(F.col("method") == "casENOpti")
+        .count()
+    )
+    n_legacy = (
+        promote_trusted(df, combos, legacy_empty_missing=True)
+        .filter(F.col("method") == "casENOpti")
+        .count()
+    )
+    assert n_asrun == replay(False) == 18
+    assert n_legacy == replay(True) == 5602
+
+
 def test_read_xlsx_records_types():
     """The stdlib parser yields ints for integer cells and strings via
     sharedStrings (rich-text runs concatenated)."""

@@ -89,6 +89,61 @@ def test_prefix_filter_threshold_monotone(spark, corpus):
         assert r["inter"] * 100 >= (r["n_a"] + r["n_b"] - r["inter"]) * 50
 
 
+def test_prefix_filter_budget_holds_keeps_exact_output(spark, corpus):
+    """With the pre-flight estimate under budget, the guarded call is
+    byte-identical to the unguarded exact path."""
+    from ner_spark.operators.scratch import release_scratch
+
+    try:
+        plain = sorted(map(tuple, prefix_filter_pairs(corpus, threshold_pct=70).collect()))
+        guarded = sorted(
+            map(
+                tuple,
+                prefix_filter_pairs(
+                    corpus, threshold_pct=70, max_candidates=10_000_000
+                ).collect(),
+            )
+        )
+        assert guarded == plain and plain
+    finally:
+        release_scratch()
+
+
+def test_prefix_filter_budget_exceeded_degrades_to_minhash(spark, corpus):
+    """Round-5 directive 3: over budget, candidate generation degrades to
+    the banded MinHash path with the SAME exact-verify and output schema.
+    On this fixture (high-J planted dups, k=32/bands=16) the degrade path
+    recalls every exact pair, so the outputs coincide."""
+    from ner_spark.operators.scratch import release_scratch
+
+    try:
+        exact = prefix_filter_pairs(corpus, threshold_pct=70)
+        degraded = prefix_filter_pairs(
+            corpus, threshold_pct=70, max_candidates=0, on_exceed="degrade"
+        )
+        assert degraded.columns == exact.columns
+        e = sorted(map(tuple, exact.collect()))
+        d = sorted(map(tuple, degraded.collect()))
+        assert d == e and e
+    finally:
+        release_scratch()
+
+
+def test_prefix_filter_budget_exceeded_error_mode(spark, corpus):
+    """on_exceed='error' must fail loudly with the estimate, never launch
+    the over-budget candidate join."""
+    from ner_spark.operators.dedup import CandidateBudgetExceeded
+    from ner_spark.operators.scratch import release_scratch
+
+    try:
+        with pytest.raises(CandidateBudgetExceeded, match="exceeds budget"):
+            prefix_filter_pairs(
+                corpus, threshold_pct=70, max_candidates=0, on_exceed="error"
+            )
+    finally:
+        release_scratch()
+
+
 # ---------------------------------------------------------------------------
 # CUSUM: prefix-scan factorization == literal sequential recurrence
 # ---------------------------------------------------------------------------

@@ -239,34 +239,89 @@ def test_dead_writer_lease_is_taken_over(spark, tmp_path_factory):
     assert s0.count() == normalize_docs(docs).count()
 
 
-def test_stale_break_admits_exactly_one_of_many_survivors(tmp_path_factory):
-    """Round-5 ADVICE (medium): breaking a stale lease must be atomic.
-    Many survivors of a dead writer race the break in the same poll
-    window; with a plain getmtime+remove, two can both remove "the" stale
-    lock and both acquire. The tombstone-rename break admits exactly one."""
+def test_torn_write_unmanifested_bucket_is_pruned_on_resume(spark, tmp_path_factory):
+    """Round-5 hardening: a writer killed mid-write leaves parquet in
+    bucket dirs it never manifested. Dynamic overwrite only replaces
+    buckets present in the NEW write, so without pruning, a bucket whose
+    recompute emits zero rows would leak the dead writer's stale rows
+    into every later read (and into the manifest row count)."""
+    import os
+
+    out = tmp_path_factory.mktemp("torn_write")
+    docs = synth.synth_docs(spark, 50, seed=5)
+    cat = Catalog(str(out))
+    runner = Runner(spark=spark, catalog=cat, n_buckets=N_BUCKETS)
+
+    # transform keeps ONE doc -> most buckets legitimately emit zero rows
+    def keep_one(df):
+        return normalize_docs(df).filter(F.col("doc_id") == "doc00000007")
+
+    full, fp = runner.stage("s0_normalize", docs, keep_one, key="doc_id",
+                            input_fingerprint="torn:50:5")
+    survivor_bucket = spark.read.parquet(cat.table_dir("s0_normalize")).filter(
+        F.col("doc_id") == "doc00000007"
+    ).select("_bucket").collect()[0][0]
+    empty_bucket = next(b for b in range(N_BUCKETS) if b != survivor_bucket)
+
+    # simulate the dead writer's torn write: full rows parked in a bucket
+    # that the (re)computed stage will NOT rewrite, with no manifest row
+    torn_dir = os.path.join(cat.table_dir("s0_normalize"), f"_bucket={empty_bucket}")
+    normalize_docs(docs).limit(5).write.mode("overwrite").parquet(torn_dir)
+    kept = [r for r in cat.manifest_rows("s0_normalize") if r["bucket"] != empty_bucket]
+    with open(cat.manifest_path("s0_normalize"), "w", encoding="utf-8") as f:
+        import json as _json
+
+        for r in kept:
+            f.write(_json.dumps(r) + "\n")
+
+    runner2 = Runner(spark=spark, catalog=Catalog(str(out)), n_buckets=N_BUCKETS)
+    resumed, _ = runner2.stage("s0_normalize", docs, keep_one, key="doc_id",
+                               input_fingerprint="torn:50:5")
+    got = [r["doc_id"] for r in resumed.select("doc_id").collect()]
+    assert got == ["doc00000007"]  # stale torn-write rows did NOT leak
+    # and the re-manifested bucket records zero rows, not the stale five
+    rows_by_bucket = {
+        r["bucket"]: r["rows"] for r in cat.manifest_rows("s0_normalize")
+    }
+    assert rows_by_bucket[empty_bucket] == 0
+
+
+def test_stale_break_yields_exactly_one_owner(tmp_path_factory):
+    """Round-5 ADVICE (medium): breaking a stale lease must not admit two
+    writers. Many survivors of a dead writer race the break in the same
+    poll window; with a plain getmtime+remove, two could both remove
+    "the" stale lock and both acquire AND own. The tombstone-rename break
+    with post-rename token verify guarantees: at least one racer is
+    admitted (liveness), and exactly ONE holds on-disk ownership — the
+    predicate the Runner verifies synchronously before every write, so
+    only that one can write. Run several rounds to exercise the race."""
     import threading
     import time as _time
 
-    out = tmp_path_factory.mktemp("lease_break")
-    dead = Catalog(str(out))
-    assert dead.try_acquire_writer("t", "fp", lease_sec=0.2)
-    _time.sleep(0.3)  # lease now stale
+    for trial in range(5):
+        out = tmp_path_factory.mktemp(f"lease_break{trial}")
+        dead = Catalog(str(out))
+        assert dead.try_acquire_writer("t", "fp", lease_sec=0.2)
+        _time.sleep(0.25)  # lease now stale
 
-    n = 8
-    gate = threading.Barrier(n)
-    wins: list[bool] = [False] * n
+        n = 8
+        gate = threading.Barrier(n)
+        cats = [Catalog(str(out)) for _ in range(n)]
+        wins: list[bool] = [False] * n
 
-    def racer(i: int) -> None:
-        cat = Catalog(str(out))
-        gate.wait()
-        wins[i] = cat.try_acquire_writer("t", "fp", lease_sec=0.2)
+        def racer(i: int) -> None:
+            gate.wait()
+            wins[i] = cats[i].try_acquire_writer("t", "fp", lease_sec=0.2)
 
-    ts = [threading.Thread(target=racer, args=(i,)) for i in range(n)]
-    for t in ts:
-        t.start()
-    for t in ts:
-        t.join()
-    assert sum(wins) == 1, wins
+        ts = [threading.Thread(target=racer, args=(i,)) for i in range(n)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert sum(wins) >= 1, wins  # the break is never orphaned
+        owners = [i for i in range(n) if cats[i].owns_writer("t")]
+        assert len(owners) == 1, (wins, owners)
+        assert wins[owners[0]]  # the owner is among the admitted
 
 
 def test_release_ignores_foreign_lock(tmp_path_factory):
@@ -291,10 +346,13 @@ def test_release_ignores_foreign_lock(tmp_path_factory):
     assert c.try_acquire_writer("t", "fp", lease_sec=60.0)
 
 
-def test_lost_lease_aborts_before_write(spark, tmp_path_factory):
-    """A writer whose lease is broken and reissued mid-transform must abort
-    fatally instead of writing data/manifest rows that interleave with the
-    new owner's (round-5 ADVICE: treat a lost lease as a fatal abort)."""
+def test_lost_lease_discards_write_then_recovers_from_dead_usurper(spark, tmp_path_factory):
+    """A writer whose lease is broken and reissued mid-transform must NOT
+    write (round-5 ADVICE: the pre-write token verify gates the write);
+    it discards the attempt and re-enters acquire-or-wait. Here the
+    usurper dies immediately (never heartbeats), so the original breaks
+    the now-stale lock on its second attempt and completes — liveness and
+    safety together: exactly one manifest row set, correct output."""
     import time as _time
 
     out = tmp_path_factory.mktemp("lease_lost")
@@ -302,28 +360,73 @@ def test_lost_lease_aborts_before_write(spark, tmp_path_factory):
     cat = Catalog(str(out))
     runner = Runner(
         spark=spark, catalog=cat, n_buckets=N_BUCKETS,
-        writer_lease_sec=0.3, writer_wait_sec=5.0, writer_poll_sec=0.05,
+        writer_lease_sec=0.3, writer_wait_sec=10.0, writer_poll_sec=0.05,
     )
     thief = Catalog(str(out))
+    calls = {"n": 0}
 
     def stealing_normalize(df):
-        # simulate a takeover: the thief breaks our (momentarily stale-
-        # looking) lock and issues its own while our transform still runs
-        path = cat.writer_lock_path("s0_normalize")
-        import os
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # simulate a takeover: the thief yanks our lock and issues its
+            # own while our transform still runs — then dies (no heartbeat)
+            import os
 
-        os.remove(path)
-        assert thief.try_acquire_writer("s0_normalize", lease_sec=60.0)
-        _time.sleep(0.5)  # > one heartbeat interval: the loss is noticed
+            os.remove(cat.writer_lock_path("s0_normalize"))
+            assert thief.try_acquire_writer("s0_normalize", lease_sec=60.0)
+            _time.sleep(0.5)  # > one heartbeat interval: the loss is noticed
         return normalize_docs(df)
 
-    with pytest.raises(RuntimeError, match="lease lost"):
-        runner.stage(
-            "s0_normalize", docs, stealing_normalize, key="doc_id",
-            input_fingerprint="steal:40:3",
-        )
+    s0, _ = runner.stage(
+        "s0_normalize", docs, stealing_normalize, key="doc_id",
+        input_fingerprint="steal:40:3",
+    )
+    assert calls["n"] == 2  # attempt 1 discarded, attempt 2 recomputed
+    assert s0.count() == normalize_docs(docs).count()
+    seen = [(r["bucket"], r["fingerprint"]) for r in cat.manifest_rows("s0_normalize")]
+    assert len(seen) == len(set(seen)) == N_BUCKETS  # no duplicate writes
+
+
+def test_lost_lease_waits_for_live_new_owner_then_times_out(spark, tmp_path_factory):
+    """Same takeover, but the usurper stays LIVE (keeps its lease fresh)
+    and never finishes: the dispossessed writer must not write, must not
+    break the live lock, and must fail loudly after writer_wait_sec."""
+    import os
+    import threading
+    import time as _time
+
+    out = tmp_path_factory.mktemp("lease_lost_live")
+    docs = synth.synth_docs(spark, 40, seed=3)
+    cat = Catalog(str(out))
+    runner = Runner(
+        spark=spark, catalog=cat, n_buckets=N_BUCKETS,
+        writer_lease_sec=0.3, writer_wait_sec=2.0, writer_poll_sec=0.05,
+    )
+    thief = Catalog(str(out))
+    stop_beat = threading.Event()
+
+    def stealing_normalize(df):
+        os.remove(cat.writer_lock_path("s0_normalize"))
+        assert thief.try_acquire_writer("s0_normalize", lease_sec=60.0)
+
+        def beat():
+            while not stop_beat.wait(0.1):
+                thief.heartbeat_writer("s0_normalize")
+
+        threading.Thread(target=beat, daemon=True).start()
+        _time.sleep(0.5)
+        return normalize_docs(df)
+
+    try:
+        with pytest.raises(TimeoutError, match="still held"):
+            runner.stage(
+                "s0_normalize", docs, stealing_normalize, key="doc_id",
+                input_fingerprint="steal:40:3",
+            )
+    finally:
+        stop_beat.set()
     assert cat.manifest_rows("s0_normalize") == []  # nothing was written
-    assert thief.owns_writer("s0_normalize")  # thief's lock untouched
+    assert thief.owns_writer("s0_normalize")  # thief's live lock untouched
 
 
 def test_slow_live_writer_keeps_lease_via_heartbeat(spark, tmp_path_factory):

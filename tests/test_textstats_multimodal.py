@@ -85,6 +85,69 @@ def test_decode_without_codec_raises(spark):
     assert "NotImplementedError" in str(ei.value) or "decode requires" in str(ei.value)
 
 
+def _tiny_bmp() -> bytes:
+    """2x2 24-bit uncompressed BMP: rows bottom-up, BGR, 4-byte padded.
+    Pixel grid (top-left..): red, green / blue, white."""
+    import struct as _s
+
+    top = bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00"  # red, green + pad
+    bot = bytes([255, 0, 0]) + bytes([255, 255, 255]) + b"\x00\x00"  # blue, white
+    raster = bot + top  # bottom-up on disk
+    info = _s.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    head = _s.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    return head + info + raster
+
+
+def _tiny_wav() -> bytes:
+    """Mono 16-bit PCM, 8 kHz, 4 frames: 0, +16384, -16384, +32767."""
+    import struct as _s
+
+    data = _s.pack("<4h", 0, 16384, -16384, 32767)
+    fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    body += b"data" + _s.pack("<I", len(data)) + data
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def test_real_decode_bmp_ppm_wav_roundtrip(spark):
+    """Round-5 directive 8: fake=False is a REAL tested path in-container
+    for stdlib-decodable codecs. Hand-built BMP/PPM/WAV payloads decode to
+    their exact known dimensions and feature values through the full
+    mapInPandas plumbing (same schema/batching as the fake branch)."""
+    ppm = b"P6\n# tiny\n2 2\n255\n" + bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    )
+    rows = [
+        ("m1", "d1", "image", bytearray(_tiny_bmp()), (0, "bmp")),
+        ("m2", "d2", "image", bytearray(ppm), (0, "ppm")),
+        ("m3", "d3", "audio", bytearray(_tiny_wav()), (0, "wav")),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA)
+    got = {r["media_ref"]: r for r in MM.decode_media(media, fake=False).collect()}
+    # BMP: 2x2, single frame, channel means over {red, green, blue, white}
+    assert (got["m1"]["width"], got["m1"]["height"], got["m1"]["n_frames"]) == (2, 2, 1)
+    assert [round(f, 4) for f in got["m1"]["features"]] == [0.5, 0.5, 0.5]
+    # PPM: same pixel grid -> same means; the comment line must be skipped
+    assert (got["m2"]["width"], got["m2"]["height"], got["m2"]["n_frames"]) == (2, 2, 1)
+    assert [round(f, 4) for f in got["m2"]["features"]] == [0.5, 0.5, 0.5]
+    # WAV: (channels, bits, frames) + [duration, mean |amplitude|]
+    assert (got["m3"]["width"], got["m3"]["height"], got["m3"]["n_frames"]) == (1, 16, 4)
+    dur, amp = got["m3"]["features"]
+    assert abs(dur - 4 / 8000) < 1e-6
+    assert abs(amp - (0 + 16384 / 32768 + 16384 / 32768 + 32767 / 32768) / 4) < 1e-4
+
+
+def test_real_decode_unsupported_codec_still_raises(spark):
+    """NotImplementedError is now reserved for genuinely unsupported
+    codecs (e.g. PNG magic) — not for the whole fake=False branch."""
+    from ner_spark.operators.multimodal import _decode_real
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="unsupported codec"):
+        _decode_real(b"\x89PNG\r\n\x1a\n....", "image")
+
+
 def test_resize_and_frame_sampling(spark):
     docs = synth.synth_docs(spark, 100, seed=42)
     decoded = MM.decode_media(MM.media_from_docs(docs), fake=True)
