@@ -64,13 +64,23 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least(stop_en / F.greatest(n_tokens, F.lit(1)) * 5, F.lit(1.0)) * 0.3
         + (1 - F.least(punct / F.greatest(n_chars, F.lit(1)) * 10, F.lit(1.0))) * 0.3
     )
+
+    # cross-engine 4-decimal rounding via floor(x*1e4 + 0.5): Spark's
+    # round(double, n) rounds the SHORTEST decimal repr (BigDecimal.valueOf
+    # -> 0.84025 -> 0.8403) while DuckDB rounds the true binary value
+    # (0.84024999... -> 0.8402) — a one-ULP landmine that hash-diverged one
+    # row in 50k at sf1 (BENCH/driver_sim_sf1_r05.log). floor of the same
+    # IEEE double is engine-independent.
+    def r4(col):
+        return F.floor(col * 10000 + F.lit(0.5)) / 10000.0
+
     return df.select(
         "*",
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
-        F.round(upper / F.greatest(n_chars, F.lit(1)), 4).alias("upper_ratio"),
-        F.round(stop_en / F.greatest(n_tokens, F.lit(1)), 4).alias("stopword_ratio"),
-        F.round(quality, 4).alias("quality"),
+        r4(punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        r4(upper / F.greatest(n_chars, F.lit(1))).alias("upper_ratio"),
+        r4(stop_en / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
+        r4(quality).alias("quality"),
     )
 
 

@@ -232,9 +232,11 @@ def doc_quality_score(spark, sf_dir):
     "tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)
+                AS DOUBLE) AS sum_disc_price,
            round(avg(l_quantity), 4) AS avg_qty,
            count(*) AS count_order
     FROM lineitem
@@ -242,11 +244,19 @@ def doc_quality_score(spark, sf_dir):
     """,
 )
 def tpch_q1(spark, sf_dir):
+    # money sums go through DECIMAL (exact, order-independent): a raw
+    # double sum over millions of rows drifts by ULPs across engines and
+    # crosses penny-rounding boundaries at sf1 (observed on
+    # tpch_priority_revenue in BENCH/driver_sim_sf1_r05.log) — the same
+    # pattern queries_analytic.py has used since round 2
     li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc1 = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+        .cast("double").alias("sum_qty"),
+        F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(price * disc1), 2).cast("double").alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.count(F.lit(1)).alias("count_order"),
     )
@@ -256,20 +266,26 @@ def tpch_q1(spark, sf_dir):
     "tpch_priority_revenue",
     """
     SELECT o.o_orderpriority,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))), 2)
+                AS DOUBLE) AS revenue,
            CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     """,
 )
 def tpch_priority_revenue(spark, sf_dir):
+    # exact-decimal revenue: see tpch_q1 — this query is where the double
+    # drift was first OBSERVED (sf1: 60599740320.56 vs .57)
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc1 = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum(price * disc1), 2).cast("double").alias("revenue"),
             F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
         )
     )
@@ -280,7 +296,7 @@ def tpch_priority_revenue(spark, sf_dir):
     """
     SELECT user_id,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
            CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
     FROM events GROUP BY user_id
     """,
@@ -289,7 +305,8 @@ def events_user_stats(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double").alias("total_value"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
     )
 
@@ -788,7 +805,10 @@ def kg_correction_join(spark, sf_dir):
 
 
 # quality_features is fully SQL-expressible — attach its oracle (mirrors
-# ner_spark.operators.textstats.quality_features exactly, incl. rounding)
+# ner_spark.operators.textstats.quality_features exactly, incl. the
+# floor(x*1e4 + 0.5) rounding — see the r4 note in operators/textstats.py:
+# engine-native round(double, 4) diverges one ULP between Spark and DuckDB
+# on shortest-repr ties like 0.84025)
 ORACLE["quality_features"] = """
     WITH b AS (
       SELECT doc_id, text,
@@ -802,13 +822,13 @@ ORACLE["quality_features"] = """
     )
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
-           round(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio,
-           round(CAST(upper AS DOUBLE) / greatest(n_chars, 1), 4) AS upper_ratio,
-           round(CAST(stop_en AS DOUBLE) / greatest(len(toks), 1), 4) AS stopword_ratio,
-           round(least(len(toks) / 100.0, 1.0) * 0.4
-                 + least(CAST(stop_en AS DOUBLE) / greatest(len(toks), 1) * 5, 1.0) * 0.3
-                 + (1 - least(CAST(punct AS DOUBLE) / greatest(n_chars, 1) * 10, 1.0)) * 0.3,
-                 4) AS quality
+           floor(CAST(punct AS DOUBLE) / greatest(n_chars, 1) * 10000 + 0.5) / 10000.0 AS punct_ratio,
+           floor(CAST(upper AS DOUBLE) / greatest(n_chars, 1) * 10000 + 0.5) / 10000.0 AS upper_ratio,
+           floor(CAST(stop_en AS DOUBLE) / greatest(len(toks), 1) * 10000 + 0.5) / 10000.0 AS stopword_ratio,
+           floor((least(len(toks) / 100.0, 1.0) * 0.4
+                  + least(CAST(stop_en AS DOUBLE) / greatest(len(toks), 1) * 5, 1.0) * 0.3
+                  + (1 - least(CAST(punct AS DOUBLE) / greatest(n_chars, 1) * 10, 1.0)) * 0.3)
+                 * 10000 + 0.5) / 10000.0 AS quality
     FROM b
 """
 

@@ -81,9 +81,18 @@ def main() -> int:
         return spark.read.parquet(f"{src}/{name}.parquet")
 
     def w(df: DataFrame, name: str, parts: int = 8) -> None:
-        df.repartition(parts).write.mode("overwrite").parquet(
-            f"{out}/{name}.parquet"
-        )
+        # the driver's sf dirs hold ONE parquet FILE per table (DuckDB's
+        # oracle views open them by exact filename), so stage to a dir and
+        # promote the single part file; `parts` shapes upstream compute
+        # parallelism before the final single-file coalesce
+        import glob as _glob
+        import shutil as _shutil
+
+        staging = f"{out}/_stage_{name}"
+        df.repartition(parts).coalesce(1).write.mode("overwrite").parquet(staging)
+        [part] = _glob.glob(f"{staging}/part-*.parquet")
+        _shutil.move(part, f"{out}/{name}.parquet")
+        _shutil.rmtree(staging)
         print(f"{name}: {spark.read.parquet(f'{out}/{name}.parquet').count()} rows")
 
     w(t("region").coalesce(1), "region", 1)
@@ -123,7 +132,10 @@ def main() -> int:
             "doc_id", (F.col("doc_id") + F.lit(i * OFF["doc_id"])).cast("long")
         )
         if i > 0:
-            tag = f"q{i}"
+            # letters only: the driver corpus is lowercase-token text and
+            # the flagship oracle ASSERTS that invariant (a digit in the
+            # tag fails the whole replay)
+            tag = "q" + chr(ord("a") + i)
             rep = rep.withColumn(
                 "text",
                 F.when(
