@@ -569,7 +569,8 @@ def vocab_oov_rate(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _SKEW_PAIRS_SQL = """
-    WITH d AS (SELECT lang, doc_id FROM documents)
+    WITH m AS (SELECT greatest(1, count(*) // 1200) AS k FROM documents),
+    d AS (SELECT lang, doc_id FROM documents, m WHERE doc_id % m.k = 0)
     SELECT l.lang AS lang,
            l.doc_id AS doc_id_l,
            r.doc_id AS doc_id_r
@@ -588,10 +589,22 @@ def kg_skew_pairs(spark, sf_dir):
     stay on the plain equi-join. The oracle is the UNSALTED pair set —
     adaptive salting must be invisible in the result. Pair order pins to
     the string form of doc_id (the operator's uid), replayed with an
-    explicit CAST in the SQL."""
+    explicit CAST in the SQL.
+
+    Pair emission is quadratic in the block BY DESIGN (that is what the
+    salting defends), so the registry form pairs a bounded deterministic
+    sample — keep doc_id % k == 0 with k = max(1, n_docs // 1200), the
+    same arithmetic in both engines — because the driver compare COLLECTS
+    both sides: at sf1 the unsampled en block alone emits ~10^9 pairs
+    (6.7 GiB of task results, past any driver's maxResultSize;
+    BENCH/driver_sim_sf1_r05.log round-5 finding). At sf0.01 (the
+    driver's gate) k=1: identical to the unsampled form. Production pair
+    joins write to a sink and never collect."""
     from .operators.canonicalize import skew_aware_self_join
 
-    d = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    k = max(1, docs.count() // 1200)  # bounded 1-row scalar, both engines
+    d = docs.filter(F.col("doc_id") % k == 0).select("lang", "doc_id")
     return skew_aware_self_join(
         d, "lang", hot_threshold=100, n_salt=4, id_col="doc_id"
     )
